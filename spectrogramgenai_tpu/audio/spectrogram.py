@@ -145,12 +145,14 @@ def power_to_db(
 def logmel_spectrogram(audio: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
     """Full pipeline: (B, N) audio → (B, n_mels, num_frames) log-mel in dB.
 
-    Bit-compatible with the reference wav→spec path (helpers.py:83-92),
-    including the trailing time crop to ``cfg.num_frames``.
+    Bit-compatible with the reference wav→spec path (helpers.py:83-92):
+    ``power_to_db(ref=max)`` is applied over the FULL spectrogram (the
+    reference's ref/top_db peaks see all frames) and only then is the time
+    axis cropped to ``cfg.num_frames``.
     """
     mel = mel_power_spectrogram(audio, cfg)
-    mel = mel[..., : cfg.num_frames]
-    return power_to_db(mel, amin=cfg.amin, top_db=cfg.top_db)
+    db = power_to_db(mel, amin=cfg.amin, top_db=cfg.top_db)
+    return db[..., : cfg.num_frames]
 
 
 # ---------------------------------------------------------------------------
@@ -169,11 +171,11 @@ def reference_logmel_np(audio: np.ndarray, cfg: SpectrogramConfig) -> np.ndarray
     spec = np.fft.rfft(frames * window.astype(np.float64), axis=-1)
     power = np.abs(spec) ** cfg.power
     mel = fb.astype(np.float64) @ power.T  # (n_mels, T)
-    mel = mel[:, : cfg.num_frames]
 
+    # Reference order (helpers.py:92): dB over the full spectrogram, THEN crop.
     ref = mel.max()
     log_spec = 10.0 * np.log10(np.maximum(cfg.amin, mel))
     log_spec -= 10.0 * np.log10(np.maximum(cfg.amin, ref))
     if cfg.top_db is not None:
         log_spec = np.maximum(log_spec, log_spec.max() - cfg.top_db)
-    return log_spec.astype(np.float32)
+    return log_spec[:, : cfg.num_frames].astype(np.float32)

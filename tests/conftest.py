@@ -16,4 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-select a TPU platform plugin before conftest runs
+# (sitecustomize), so force the platform via config as well as the env var.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

@@ -1,0 +1,52 @@
+"""Fused Pallas mel kernel vs the jnp/NumPy oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrogramgenai_tpu.audio import SpectrogramConfig, logmel_spectrogram, mel_power_spectrogram
+from spectrogramgenai_tpu.ops.mel_kernel import fused_logmel, fused_mel_power
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _audio(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(cfg.clip_samples) / cfg.sample_rate
+    clips = [
+        np.sin(2 * np.pi * (1500 + 700 * k) * t) * np.exp(-0.5 * t) + 0.05 * rng.standard_normal(len(t))
+        for k in range(b)
+    ]
+    return np.stack(clips).astype(np.float32)
+
+
+@pytest.mark.parametrize("sr", [22050, 32000])
+def test_fused_mel_power_matches_jnp(sr):
+    cfg = SpectrogramConfig(sample_rate=sr)
+    audio = _audio(cfg)
+    got = np.asarray(fused_mel_power(jnp.asarray(audio), cfg, interpret=INTERPRET))
+    want = np.asarray(mel_power_spectrogram(jnp.asarray(audio), cfg))  # (B, M, T)
+    want = np.swapaxes(want, 1, 2)  # (B, T, M)
+    assert got.shape == want.shape
+    scale = want.max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+
+def test_fused_logmel_matches_reference_pipeline():
+    cfg = SpectrogramConfig(sample_rate=22050)
+    audio = _audio(cfg, b=3, seed=1)
+    got = np.asarray(fused_logmel(jnp.asarray(audio), cfg, interpret=INTERPRET))
+    want = np.asarray(logmel_spectrogram(jnp.asarray(audio), cfg))
+    assert got.shape == (3, cfg.n_mels, cfg.num_frames)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_fused_logmel_odd_length_audio():
+    # Non-multiple-of-hop lengths must still work (padding path).
+    cfg = SpectrogramConfig(sample_rate=22050)
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((1, cfg.clip_samples - 1234)).astype(np.float32)
+    got = np.asarray(fused_logmel(jnp.asarray(audio), cfg, interpret=INTERPRET))
+    want = np.asarray(logmel_spectrogram(jnp.asarray(audio), cfg))
+    np.testing.assert_allclose(got, want, atol=5e-3)
