@@ -58,6 +58,7 @@ class DDPMConfig:
     c_out: int = 1
     time_dim: int = 256
     remove_deep_conv: bool = False
+    width_mult: float = 1.0  # dev/test shrink knob; 1.0 = reference UNet
     latent: bool = True            # DiffusionVAE is the working reference path
     latent_dim: int = 4
     latent_downscale: int = 4      # img_size // 4 (diff_modules.py:621)

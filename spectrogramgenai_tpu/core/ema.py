@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    """EMA state starts as a copy of the params."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """EMA state starts as a (real, non-aliased) copy of the params."""
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(ema_params, params, step, beta: float = 0.995, step_start: int = 2000):

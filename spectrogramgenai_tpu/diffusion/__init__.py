@@ -1,0 +1,17 @@
+from spectrogramgenai_tpu.diffusion.ddpm import (
+    DiffusionSchedule,
+    linear_schedule,
+    q_sample,
+    diffusion_loss,
+    ddpm_sample,
+    to_uint8,
+)
+
+__all__ = [
+    "DiffusionSchedule",
+    "linear_schedule",
+    "q_sample",
+    "diffusion_loss",
+    "ddpm_sample",
+    "to_uint8",
+]

@@ -1,0 +1,145 @@
+"""DDPM runtime: schedule, forward q-sample, ε-MSE loss, scan-compiled sampler.
+
+Capability parity with the reference Diffusion/DiffusionVAE runtimes
+(diff_modules.py:370-776): linear β schedule 1e-4→0.02 over 1000 steps,
+t ~ U{1, …, 999} training timesteps, 10% classifier-free label dropout,
+and the 999-step ancestral reverse chain with CFG
+``lerp(uncond, cond, cfg_scale=3)``.
+
+TPU-first design (the BASELINE north-star):
+  * The whole reverse chain is ONE ``lax.scan`` inside one jit — zero Python
+    per step, weights stay pinned in HBM/VMEM across all 999 steps.
+  * The conditional and unconditional passes are batched into a single
+    forward (2n batch with a cond_mask), halving kernel launches vs the
+    reference's two sequential model calls per step
+    (diff_modules.py:425-427).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    noise_steps: int
+    beta_start: float
+    beta_end: float
+
+    # NumPy host constants (never tracers — safe to cache across jit traces).
+    @functools.cached_property
+    def beta(self) -> np.ndarray:
+        return np.linspace(self.beta_start, self.beta_end, self.noise_steps, dtype=np.float32)
+
+    @functools.cached_property
+    def alpha(self) -> np.ndarray:
+        return 1.0 - self.beta
+
+    @functools.cached_property
+    def alpha_hat(self) -> np.ndarray:
+        return np.cumprod(self.alpha, axis=0, dtype=np.float32)
+
+
+def linear_schedule(noise_steps: int = 1000, beta_start: float = 1e-4, beta_end: float = 0.02):
+    return DiffusionSchedule(noise_steps, beta_start, beta_end)
+
+
+def q_sample(schedule: DiffusionSchedule, x: jax.Array, t: jax.Array, noise: jax.Array):
+    """Forward diffusion x_t = √ᾱ_t·x + √(1-ᾱ_t)·ε (diff_modules.py:404-409)."""
+    ah = jnp.asarray(schedule.alpha_hat)[t]
+    shape = (-1,) + (1,) * (x.ndim - 1)
+    return jnp.sqrt(ah).reshape(shape) * x + jnp.sqrt(1.0 - ah).reshape(shape) * noise
+
+
+def diffusion_loss(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    label_drop: float = 0.1,
+):
+    """ε-prediction MSE with classifier-free label dropout.
+
+    Matches the reference one_epoch inner loop (diff_modules.py:460-489):
+    per-batch label drop with prob `label_drop` (the reference drops the whole
+    batch at once via np.random.random(), diff_modules.py:475).
+    """
+    n = images.shape[0]
+    k_t, k_noise, k_drop = jax.random.split(key, 3)
+    t = jax.random.randint(k_t, (n,), 1, schedule.noise_steps)
+    noise = jax.random.normal(k_noise, images.shape, images.dtype)
+    x_t = q_sample(schedule, images, t, noise)
+    keep = (jax.random.uniform(k_drop, ()) >= label_drop).astype(jnp.float32)
+    cond_mask = jnp.full((n,), keep)
+    pred = apply_fn(params, x_t, t.astype(jnp.float32), labels, cond_mask)
+    return jnp.mean((noise - pred) ** 2)
+
+
+def ddpm_sample(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    labels: jax.Array,
+    sample_shape: tuple[int, ...],
+    cfg_scale: float = 3.0,
+    callback: Callable[[jax.Array, jax.Array], Any] | None = None,
+) -> jax.Array:
+    """Reverse chain: (len(labels), *sample_shape) samples in [-1, 1]-ish.
+
+    One jittable scan over i = noise_steps-1 … 1 (diff_modules.py:411-439).
+    With cfg_scale > 0, each step runs ONE 2n-batch forward covering the
+    conditional and unconditional branches.
+
+    `callback(step_index, x)` is an optional pure function folded into the
+    scan carry-free output (used by the denoising-trajectory dump feature).
+    """
+    n = labels.shape[0]
+    x0 = jax.random.normal(key, (n, *sample_shape), jnp.float32)
+    use_cfg = cfg_scale > 0
+
+    def step(carry, i):
+        x, k = carry
+        k, k_noise = jax.random.split(k)
+        t = jnp.full((n,), i, jnp.float32)
+        if use_cfg:
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.concatenate([t, t], axis=0)
+            yy = jnp.concatenate([labels, labels], axis=0)
+            mask = jnp.concatenate([jnp.ones((n,)), jnp.zeros((n,))], axis=0)
+            eps = apply_fn(params, xx, tt, yy, mask)
+            cond, uncond = eps[:n], eps[n:]
+            # torch.lerp(uncond, cond, s) = uncond + s·(cond - uncond)
+            eps = uncond + cfg_scale * (cond - uncond)
+        else:
+            eps = apply_fn(params, x, t, labels, jnp.ones((n,)))
+
+        alpha = jnp.asarray(schedule.alpha)[i]
+        alpha_hat = jnp.asarray(schedule.alpha_hat)[i]
+        beta = jnp.asarray(schedule.beta)[i]
+        noise = jnp.where(i > 1, jax.random.normal(k_noise, x.shape), jnp.zeros_like(x))
+        x = (1.0 / jnp.sqrt(alpha)) * (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_hat)) * eps) + jnp.sqrt(
+            beta
+        ) * noise
+        out = callback(i, x) if callback is not None else None
+        return (x, k), out
+
+    steps = jnp.arange(schedule.noise_steps - 1, 0, -1)
+    (x, _), outs = jax.lax.scan(step, (x0, key), steps)
+    if callback is not None:
+        return x, outs
+    return x
+
+
+def to_uint8(x: jax.Array) -> jax.Array:
+    """clamp(-1,1) → [0,255] uint8 (diff_modules.py:440-442)."""
+    x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0
+    return (x * 255.0).astype(jnp.uint8)

@@ -37,11 +37,16 @@ class ConditionalUNet(nn.Module):
     time_dim: int = 256
     num_classes: int | None = 27
     remove_deep_conv: bool = False
+    width_mult: float = 1.0  # dev/test knob; 1.0 = reference channel plan
     dtype: jnp.dtype = jnp.float32
+
+    def _w(self, c: int) -> int:
+        return max(8, int(c * self.width_mult))
 
     @nn.compact
     def __call__(self, x, t, y=None, cond_mask=None):
         dt = self.dtype
+        w = self._w
         t_emb = sinusoidal_time_embedding(t, self.time_dim, dtype=dt)
         if self.num_classes is not None:
             if y is None:
@@ -53,28 +58,28 @@ class ConditionalUNet(nn.Module):
             t_emb = t_emb + lab
 
         x = x.astype(dt)
-        x1 = DoubleConv(64, dtype=dt)(x)
-        x2 = Down(64, 128, dtype=dt)(x1, t_emb)
-        x2 = SpatialSelfAttention(128, dtype=dt)(x2)
-        x3 = Down(128, 256, dtype=dt)(x2, t_emb)
-        x3 = SpatialSelfAttention(256, dtype=dt)(x3)
-        x4 = Down(256, 256, dtype=dt)(x3, t_emb)
-        x4 = SpatialSelfAttention(256, dtype=dt)(x4)
+        x1 = DoubleConv(w(64), dtype=dt)(x)
+        x2 = Down(w(64), w(128), dtype=dt)(x1, t_emb)
+        x2 = SpatialSelfAttention(w(128), dtype=dt)(x2)
+        x3 = Down(w(128), w(256), dtype=dt)(x2, t_emb)
+        x3 = SpatialSelfAttention(w(256), dtype=dt)(x3)
+        x4 = Down(w(256), w(256), dtype=dt)(x3, t_emb)
+        x4 = SpatialSelfAttention(w(256), dtype=dt)(x4)
 
         if self.remove_deep_conv:
-            x4 = DoubleConv(256, dtype=dt)(x4)
-            x4 = DoubleConv(256, dtype=dt)(x4)
+            x4 = DoubleConv(w(256), dtype=dt)(x4)
+            x4 = DoubleConv(w(256), dtype=dt)(x4)
         else:
-            x4 = DoubleConv(512, dtype=dt)(x4)
-            x4 = DoubleConv(512, dtype=dt)(x4)
-            x4 = DoubleConv(256, dtype=dt)(x4)
+            x4 = DoubleConv(w(512), dtype=dt)(x4)
+            x4 = DoubleConv(w(512), dtype=dt)(x4)
+            x4 = DoubleConv(w(256), dtype=dt)(x4)
 
-        xu = Up(512, 128, dtype=dt)(x4, x3, t_emb)
-        xu = SpatialSelfAttention(128, dtype=dt)(xu)
-        xu = Up(256, 64, dtype=dt)(xu, x2, t_emb)
-        xu = SpatialSelfAttention(64, dtype=dt)(xu)
-        xu = Up(128, 64, dtype=dt)(xu, x1, t_emb)
-        xu = SpatialSelfAttention(64, dtype=dt)(xu)
+        xu = Up(w(512), w(128), dtype=dt)(x4, x3, t_emb)
+        xu = SpatialSelfAttention(w(128), dtype=dt)(xu)
+        xu = Up(w(256), w(64), dtype=dt)(xu, x2, t_emb)
+        xu = SpatialSelfAttention(w(64), dtype=dt)(xu)
+        xu = Up(w(128), w(64), dtype=dt)(xu, x1, t_emb)
+        xu = SpatialSelfAttention(w(64), dtype=dt)(xu)
         return nn.Conv(self.c_out, (1, 1), dtype=dt, name="outc")(xu).astype(jnp.float32)
 
 

@@ -1,0 +1,156 @@
+"""Conditional DDPM training/sampling task (pixel or VQ-VAE latent space).
+
+Rebuilds the reference Diffusion / DiffusionVAE runtimes
+(diff_modules.py:370-776) as jitted SPMD functions over the mesh:
+
+  * train_step: renorm → [frozen VQ encode] → q-sample → UNet ε-MSE →
+    AdamW/OneCycle update → EMA update — one fused jit, batch sharded over
+    the data axis, params optionally TP-sharded over the model axis.
+  * sample: the full 999-step reverse chain as one jitted lax.scan with
+    batched CFG, ending (latent mode) with codebook quantize + decode —
+    the BASELINE north-star hot loop.
+
+Notable reference quirks preserved deliberately:
+  * latent training diffuses the UNQUANTIZED encoder output; quantization
+    happens only in the decode path (diff_modules.py:720,702-704).
+  * EMA is implemented *correctly* here (the reference never instantiates
+    its EMA model — SURVEY.md §2.2 M14), with warmup-copy semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from spectrogramgenai_tpu.core.config import DDPMConfig
+from spectrogramgenai_tpu.core.ema import ema_init, ema_update
+from spectrogramgenai_tpu.core.mesh import DATA_AXIS
+from spectrogramgenai_tpu.data.transforms import renorm_m1_1
+from spectrogramgenai_tpu.diffusion.ddpm import (
+    DiffusionSchedule,
+    ddpm_sample,
+    diffusion_loss,
+    linear_schedule,
+    to_uint8,
+)
+from spectrogramgenai_tpu.models.unet import ConditionalUNet
+from spectrogramgenai_tpu.models.vqvae import VQVAE
+from spectrogramgenai_tpu.train import common
+from spectrogramgenai_tpu.train.state import TrainState, new_train_state
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class DiffusionTask:
+    def __init__(self, cfg: DDPMConfig, mesh, total_steps: int, vq_variables: Any | None = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.schedule: DiffusionSchedule = linear_schedule(cfg.noise_steps, cfg.beta_start, cfg.beta_end)
+        dt = _dtype(cfg.compute_dtype)
+
+        if cfg.latent:
+            self.sample_size = cfg.img_size // cfg.latent_downscale
+            self.channels = cfg.latent_dim
+            self.vqvae = VQVAE(latent_dim=cfg.latent_dim, dtype=dt)
+            if vq_variables is None:
+                raise ValueError("latent diffusion needs trained VQ-VAE variables (cfg.vqae_ckpt)")
+            self.vq_variables = vq_variables
+        else:
+            self.sample_size = cfg.img_size
+            self.channels = cfg.c_in
+            self.vqvae = None
+            self.vq_variables = None
+
+        self.model = ConditionalUNet(
+            c_in=self.channels,
+            c_out=self.channels,
+            time_dim=cfg.time_dim,
+            num_classes=cfg.num_classes,
+            remove_deep_conv=cfg.remove_deep_conv,
+            width_mult=cfg.width_mult,
+            dtype=dt,
+        )
+        self.tx = common.make_adamw_onecycle(cfg.lr, total_steps, eps=cfg.adam_eps)
+
+    # -- state -----------------------------------------------------------------
+    def init_state(self, seed: int | None = None) -> TrainState:
+        seed = self.cfg.run.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_init, k_run = jax.random.split(key)
+        x = jnp.zeros((1, self.sample_size, self.sample_size, self.channels), jnp.float32)
+        variables = self.model.init(k_init, x, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32), jnp.ones((1,)))
+        params = variables["params"]
+        state = new_train_state(params, self.tx, k_run, ema_params=ema_init(params))
+        return common.shard_state(self.mesh, state)
+
+    # -- embedding into latent space --------------------------------------------
+    def _encode(self, images: jax.Array) -> jax.Array:
+        """[0,1] grayscale NHWC → model input space (reference one_epoch preamble)."""
+        x = renorm_m1_1(images)
+        if self.vqvae is not None:
+            x = self.vqvae.apply(self.vq_variables, x, method=VQVAE.encode)
+        return x
+
+    def _apply(self, params, x, t, y, cond_mask):
+        return self.model.apply({"params": params}, x, t, y, cond_mask)
+
+    # -- train ------------------------------------------------------------------
+    def _train_step(self, state: TrainState, images: jax.Array, labels: jax.Array):
+        rng, step_key = jax.random.split(state.rng)
+        x = self._encode(images)
+
+        def loss_fn(params):
+            return diffusion_loss(
+                self._apply, params, self.schedule, x, labels, step_key, self.cfg.label_drop
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.step, self.cfg.ema_beta, self.cfg.ema_start)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params, rng=rng
+        )
+        return new_state, {"train_mse": loss}
+
+    def make_train_step(self):
+        return jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _eval_step(self, state: TrainState, images: jax.Array, labels: jax.Array, key):
+        x = self._encode(images)
+        loss = diffusion_loss(self._apply, state.params, self.schedule, x, labels, key, label_drop=0.0)
+        return {"val_mse": loss}
+
+    def make_eval_step(self):
+        return jax.jit(self._eval_step)
+
+    # -- sampling ----------------------------------------------------------------
+    def _sample(self, params, key: jax.Array, labels: jax.Array, cfg_scale: float):
+        x = ddpm_sample(
+            self._apply,
+            params,
+            self.schedule,
+            key,
+            labels,
+            (self.sample_size, self.sample_size, self.channels),
+            cfg_scale=cfg_scale,
+        )
+        if self.vqvae is not None:
+            # clamp → quantize → decode → uint8 (diff_modules.py:702-707)
+            x = jnp.clip(x, -1.0, 1.0)
+            x = self.vqvae.apply(self.vq_variables, x, method=VQVAE.decode_quantized)
+            return ((jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
+        return to_uint8(x)
+
+    def make_sampler(self):
+        return jax.jit(functools.partial(self._sample), static_argnames=("cfg_scale",))
+
+    def sample(self, state: TrainState, key, labels, use_ema: bool = False, cfg_scale: float | None = None):
+        params = state.ema_params if use_ema else state.params
+        cfg_scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
+        return self.make_sampler()(params, key, labels, cfg_scale=cfg_scale)
