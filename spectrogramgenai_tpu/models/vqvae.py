@@ -86,7 +86,8 @@ class VQEmbeddingEMA(nn.Module):
         self.ema_count = self.variable(
             "codebook", "ema_count", lambda: jnp.zeros((self.n_embeddings,), jnp.float32)
         )
-        self.ema_weight = self.variable("codebook", "ema_weight", lambda: self.embedding.value)
+        # jnp.copy: must not alias the embedding buffer (breaks jit donation)
+        self.ema_weight = self.variable("codebook", "ema_weight", lambda: jnp.copy(self.embedding.value))
 
     def _nearest(self, x_flat):
         emb = self.embedding.value

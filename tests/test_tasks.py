@@ -1,0 +1,82 @@
+"""VQ-VAE and ACGAN task tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogramgenai_tpu.core.config import ACGANConfig, VQVAEConfig, RunConfig, DataConfig
+from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, shard_batch
+from spectrogramgenai_tpu.train.acgan_task import ACGANTask, bce, nll
+from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
+
+
+def test_bce_nll_match_torch_semantics():
+    import torch
+
+    pred = np.random.default_rng(0).uniform(0.01, 0.99, (8, 1)).astype(np.float32)
+    target = np.ones((8, 1), np.float32)
+    want = torch.nn.BCELoss()(torch.tensor(pred), torch.tensor(target)).item()
+    got = float(bce(jnp.asarray(pred), jnp.asarray(target)))
+    assert abs(want - got) < 1e-5
+
+    logits = np.random.default_rng(1).normal(size=(8, 5)).astype(np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = np.array([0, 1, 2, 3, 4, 0, 1, 2])
+    want = torch.nn.NLLLoss()(torch.tensor(np.asarray(logp)), torch.tensor(labels)).item()
+    got = float(nll(logp, jnp.asarray(labels)))
+    assert abs(want - got) < 1e-5
+
+
+def test_vqvae_trains_and_reconstructs():
+    cfg = VQVAEConfig(hidden_dim=32, n_embeddings=32, run=RunConfig(seed=0),
+                      data=DataConfig(batch_size=8), compute_dtype="float32")
+    mesh = create_mesh(MeshSpec(data=8))
+    task = VQVAETask(cfg, mesh)
+    state = task.init_state(img_size=32)
+    step = task.make_train_step()
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(30):
+        images = rng.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32)
+        batch = shard_batch(mesh, {"image": images})
+        state, m = step(state, batch["image"])
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert float(m["perplexity"]) > 1.0  # codebook in use
+
+    x_hat, z, z_q = task.reconstruct(state, jnp.asarray(images))
+    assert x_hat.shape == (8, 32, 32, 1)
+    assert z.shape == (8, 8, 8, cfg.latent_dim)
+
+    # codebook EMA actually moved
+    emb = np.asarray(state.stats["codebook"]["codebook"]["embedding"])
+    assert np.abs(emb).max() > 1.0 / cfg.n_embeddings
+
+
+def test_acgan_step_runs_and_updates():
+    cfg = ACGANConfig(num_classes=5, run=RunConfig(seed=0),
+                      data=DataConfig(batch_size=8, img_size=64), compute_dtype="float32")
+    mesh = create_mesh(MeshSpec(data=8))
+    task = ACGANTask(cfg, mesh)
+    # shrink image size for the test by overriding img_size (G still emits 256;
+    # use the small-D path by feeding its own generated size)
+    task.img_size = 256
+    state = task.init_state()
+    step = task.make_train_step()
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (8, 256, 256, 1)).astype(np.float32)
+    labels = rng.integers(0, 5, (8,)).astype(np.int32)
+    batch = shard_batch(mesh, {"image": images, "label": labels})
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state, m = step(state, batch["image"], batch["label"])
+    assert np.isfinite(float(m["loss_G"])) and np.isfinite(float(m["loss_D"]))
+    assert 0.0 <= float(m["d_acc"]) <= 1.0
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))  # G actually updated
+
+    # spectral-norm power-iteration state must exist and update
+    assert state.d_stats, "expected spectral-norm/batch stats on discriminator"
+
+    z = task.build_noise(jax.random.PRNGKey(1), jnp.asarray(labels))
+    imgs = task.generate(state, z)
+    assert imgs.shape == (8, 256, 256, 1)
