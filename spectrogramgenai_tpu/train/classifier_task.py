@@ -1,0 +1,116 @@
+"""Classifier training task (reference helpers.py:581-929, train_classifiers.py).
+
+Per-step: renorm → [denoiser] → channel adapt → forward → CE
+[+ knowledge distillation against BirdNET embeddings: KL at T=3, α=0.7] →
+Adam(1e-3) with the reference's layer-freeze policy applied as an optax mask.
+Evaluation streams logits into eval/classification.ClassificationMetrics
+(macro P/R/F1, acc, top-1/3/5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spectrogramgenai_tpu.core.config import ClassifierConfig
+from spectrogramgenai_tpu.data.transforms import expand_channels, renorm_m1_1
+from spectrogramgenai_tpu.models.classifiers import MODEL_CHANNELS, build_classifier, trainable_mask
+from spectrogramgenai_tpu.train import common
+from spectrogramgenai_tpu.train.state import TrainState, new_train_state
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, -1), labels[:, None], axis=1))
+
+
+def kd_loss(logits: jax.Array, teacher_emb: jax.Array, temperature: float) -> jax.Array:
+    """BirdNET-embedding distillation (helpers.py:450-457): KL between
+    softened teacher logits and student log-probs, scaled by T²."""
+    soft_targets = jax.nn.softmax(teacher_emb / temperature, axis=-1)
+    soft_prob = jax.nn.log_softmax(logits / temperature, axis=-1)
+    per_batch = jnp.sum(soft_targets * (jnp.log(soft_targets + 1e-12) - soft_prob))
+    return per_batch / logits.shape[0] * temperature**2
+
+
+class ClassifierTask:
+    def __init__(self, cfg: ClassifierConfig, mesh, denoiser_apply=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+        self.model = build_classifier(cfg.model_name, cfg.num_classes, dtype=dt)
+        self.n_channel = MODEL_CHANNELS.get(
+            {"resnet18": "resnet", "vgg16": "vgg", "mobilenet_v2": "mobilenet"}.get(cfg.model_name, cfg.model_name),
+            1,
+        )
+        self.denoiser_apply = denoiser_apply
+        self.tx = None  # built in init_state (needs params for the mask)
+
+    def init_state(self, img_size: int = 256, seed: int | None = None) -> TrainState:
+        cfg = self.cfg
+        seed = cfg.run.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_init, k_drop, k_run = jax.random.split(key, 3)
+        x = jnp.zeros((1, img_size, img_size, self.n_channel if cfg.model_name != "ensemble" else 1))
+        variables = self.model.init({"params": k_init, "dropout": k_drop}, x, train=False)
+        params = variables["params"]
+
+        mask = trainable_mask(params, cfg.model_name)
+        self.tx = optax.chain(
+            optax.masked(optax.adam(cfg.lr), mask),
+        )
+        stats = {k: v for k, v in variables.items() if k != "params"}
+        state = new_train_state(params, self.tx, k_run, stats=stats)
+        return common.shard_state(self.mesh, state)
+
+    def _preprocess(self, images):
+        x = renorm_m1_1(images)
+        if self.denoiser_apply is not None and self.cfg.use_denoiser:
+            x = renorm_m1_1(x - self.denoiser_apply(x))
+        if self.cfg.model_name != "ensemble":
+            x = expand_channels(x, self.n_channel)
+        return x
+
+    def _loss(self, params, stats, x, labels, embeddings, dropout_key, train):
+        variables = {"params": params, **stats}
+        mutable = [k for k in stats.keys()] if train else False
+        out = self.model.apply(
+            variables, x, train=train,
+            rngs={"dropout": dropout_key} if train else None,
+            mutable=mutable,
+        )
+        logits, updated = out if train else (out, stats)
+        loss = cross_entropy(logits, labels)
+        if embeddings is not None and self.cfg.knowledge_dist:
+            dist = kd_loss(logits, embeddings, self.cfg.kd_temperature)
+            loss = self.cfg.kd_alpha * dist + (1.0 - self.cfg.kd_alpha) * loss
+        return loss, (logits, updated)
+
+    def _train_step(self, state: TrainState, images, labels, embeddings=None):
+        rng, k_drop = jax.random.split(state.rng)
+        x = self._preprocess(images)
+
+        def loss_fn(params):
+            return self._loss(params, state.stats, x, labels, embeddings, k_drop, train=True)
+
+        (loss, (logits, updated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, stats=dict(updated), rng=rng
+        )
+        return new_state, {"train_loss": loss, "train_acc": acc}
+
+    def make_train_step(self):
+        return jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _eval_step(self, state: TrainState, images, labels):
+        x = self._preprocess(images)
+        variables = {"params": state.params, **state.stats}
+        logits = self.model.apply(variables, x, train=False)
+        loss = cross_entropy(logits, labels)
+        return logits, loss
+
+    def make_eval_step(self):
+        return jax.jit(self._eval_step)

@@ -1,0 +1,58 @@
+"""Source-separation ("specunet") task (reference helpers.py:1084-1181).
+
+Trains a network mapping a mixed spectrogram → 2-channel output
+(noise spectrogram, bird spectrogram) with MSE, on MixDataset-style batches
+(audio/mix.py). Backbone = the transformer denoiser with out_channels=2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spectrogramgenai_tpu.core.config import SpecUNetConfig
+from spectrogramgenai_tpu.models.denoiser import TransformerDenoiser
+from spectrogramgenai_tpu.train import common
+from spectrogramgenai_tpu.train.state import TrainState, new_train_state
+
+
+class SpecUNetTask:
+    def __init__(self, cfg: SpecUNetConfig, mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+        self.model = TransformerDenoiser(out_channels=2, dtype=dt)
+        self.tx = optax.adam(cfg.lr)
+
+    def init_state(self, img_size: int = 256, seed: int | None = None) -> TrainState:
+        seed = self.cfg.run.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_init, k_run = jax.random.split(key)
+        x = jnp.zeros((1, img_size, img_size, 1))
+        variables = self.model.init({"params": k_init}, x)
+        state = new_train_state(variables["params"], self.tx, k_run)
+        return common.shard_state(self.mesh, state)
+
+    def _train_step(self, state: TrainState, mix, noise_spec, bird_spec):
+        rng, k_drop = jax.random.split(state.rng)
+        target = jnp.concatenate([noise_spec, bird_spec], axis=-1)
+
+        def loss_fn(params):
+            pred = self.model.apply({"params": params}, mix, deterministic=False,
+                                    rngs={"dropout": k_drop})
+            return jnp.mean((pred - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), {
+            "train_mse": loss
+        }
+
+    def make_train_step(self):
+        return jax.jit(self._train_step, donate_argnums=(0,))
+
+    def separate(self, state: TrainState, mix):
+        pred = self.model.apply({"params": state.params}, mix, deterministic=True)
+        return pred[..., :1], pred[..., 1:]

@@ -1,0 +1,101 @@
+"""Classifier task + metrics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogramgenai_tpu.core.config import ClassifierConfig, DataConfig, RunConfig
+from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, shard_batch
+from spectrogramgenai_tpu.eval.classification import (
+    ClassificationMetrics,
+    confusion_matrix,
+    macro_precision_recall_f1,
+    top_k_accuracy,
+)
+from spectrogramgenai_tpu.train.classifier_task import ClassifierTask, cross_entropy, kd_loss
+
+
+def test_metrics_against_sklearn():
+    from sklearn.metrics import precision_recall_fscore_support
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 5, 200)
+    preds = rng.integers(0, 5, 200)
+    cm = np.asarray(confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), 5))
+    p, r, f1 = macro_precision_recall_f1(jnp.asarray(cm))
+    sp, sr, sf1, _ = precision_recall_fscore_support(labels, preds, average="macro", zero_division=0)
+    assert abs(float(p) - sp) < 1e-6
+    assert abs(float(r) - sr) < 1e-6
+    assert abs(float(f1) - sf1) < 1e-6
+
+
+def test_topk_and_streaming_metrics():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(64, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, 64)
+    top1 = float(top_k_accuracy(jnp.asarray(logits), jnp.asarray(labels), 1))
+    assert abs(top1 - (logits.argmax(-1) == labels).mean()) < 1e-6
+
+    m = ClassificationMetrics(10)
+    m.update(logits[:32], labels[:32], loss=1.0)
+    m.update(logits[32:], labels[32:], loss=2.0)
+    out = m.compute()
+    assert abs(out["top1_acc"] - top1) < 1e-6
+    assert out["loss"] == 1.5
+    report = m.classification_report([f"c{i}" for i in range(10)])
+    assert len(report) == 10 and report["support"].sum() == 64
+
+
+def test_kd_loss_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(8, 27)).astype(np.float32)
+    emb = rng.normal(size=(8, 27)).astype(np.float32)
+    T = 3.0
+    st = torch.nn.functional.softmax(torch.tensor(emb) / T, dim=-1)
+    sp = torch.nn.functional.log_softmax(torch.tensor(logits) / T, dim=-1)
+    want = (torch.sum(st * (st.log() - sp)) / sp.size()[0] * (T**2)).item()
+    got = float(kd_loss(jnp.asarray(logits), jnp.asarray(emb), T))
+    assert abs(want - got) < 1e-3
+
+
+def test_custom_classifier_trains():
+    cfg = ClassifierConfig(model_name="custom", num_classes=5,
+                           data=DataConfig(batch_size=8, img_size=64),
+                           run=RunConfig(seed=0), compute_dtype="float32")
+    mesh = create_mesh(MeshSpec(data=8))
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=64)
+    step = task.make_train_step()
+    rng = np.random.default_rng(0)
+    # learnable signal: class k has a bright k-th row block
+    losses = []
+    for i in range(30):
+        labels = rng.integers(0, 5, (8,)).astype(np.int32)
+        images = rng.uniform(0, 0.2, (8, 64, 64, 1)).astype(np.float32)
+        for b, lab in enumerate(labels):
+            images[b, lab * 12 : lab * 12 + 12] += 0.8
+        batch = shard_batch(mesh, {"image": images, "label": labels})
+        state, m = step(state, batch["image"], batch["label"])
+        losses.append(float(m["train_loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    eval_step = task.make_eval_step()
+    logits, loss = eval_step(state, batch["image"], batch["label"])
+    assert logits.shape == (8, 5) and np.isfinite(float(loss))
+
+
+def test_frozen_backbone_mask():
+    from spectrogramgenai_tpu.models.classifiers import ResNet18, trainable_mask
+
+    model = ResNet18(5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    mask = trainable_mask(v["params"], "resnet")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    trainable = {".".join(str(getattr(p, "key", "")) for p in path) for path, val in flat if val}
+    frozen = {".".join(str(getattr(p, "key", "")) for p in path) for path, val in flat if not val}
+    assert any("layer4" in t for t in trainable)
+    assert any("fc" in t for t in trainable)
+    assert any("layer1" in f for f in frozen)
+    assert any("stem" in f for f in frozen)

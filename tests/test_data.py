@@ -1,0 +1,142 @@
+"""Data layer tests: transforms parity, wav slicing, export round-trip,
+bootstrap balancing, folder pipeline, synthetic mixing."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from spectrogramgenai_tpu.audio.export import (
+    load_image_grayscale,
+    save_generated_png,
+    save_spectrogram_npy,
+    save_spectrogram_png,
+    spec_png_name,
+)
+from spectrogramgenai_tpu.audio.mix import midpoint_normalize, mix_waveforms, rescale_wav
+from spectrogramgenai_tpu.audio.wavio import fixed_window, load_wav, normalize_peak, slice_clip
+from spectrogramgenai_tpu.data.manifest import bootstrap_balance_indices
+from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, iterate_batches, synthetic_mix_dataframe
+from spectrogramgenai_tpu.data.transforms import renorm_m1_1
+
+
+def test_renorm_matches_reference_unit_test():
+    # the reference's own test cases (tests/test_main.py)
+    out = np.asarray(renorm_m1_1(jnp.asarray([[0.0, 0.5, 1.0]])))
+    np.testing.assert_allclose(out, [[-1.0, 0.0, 1.0]], atol=1e-6)
+    out = np.asarray(renorm_m1_1(jnp.asarray([[0.0, 127.5, 255.0]])))
+    np.testing.assert_allclose(out, [[-1.0, 0.0, 1.0]], atol=1e-6)
+    out = np.asarray(renorm_m1_1(jnp.asarray([[-30.0, 10.0, 20.0]])))
+    np.testing.assert_allclose(out, [[-1.0, 0.6, 1.0]], atol=1e-6)
+    out = renorm_m1_1(jnp.asarray([[5.0]]))
+    assert out.shape == (1, 1)
+
+
+def test_wav_roundtrip_and_slicing(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 8000
+    t = np.arange(sr * 10) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+
+    loaded, got_sr = load_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(loaded, wav, atol=1e-3)
+
+    clip = slice_clip(loaded, sr, begin_time=2, end_time=9, clip_seconds=6)
+    assert len(clip) == 6 * sr
+    np.testing.assert_allclose(clip, loaded[2 * sr : 8 * sr])
+
+    # window overruns the end → fall back to [end-6, end]
+    clip = slice_clip(loaded, sr, begin_time=7, end_time=9, clip_seconds=6)
+    np.testing.assert_allclose(clip, loaded[3 * sr : 9 * sr])
+
+    w = fixed_window(loaded, sr, 0.0, 2**13)
+    assert len(w) == 2**13
+    assert abs(np.abs(w).max() - 1.0) < 1e-6  # peak-normalized
+
+
+def test_mix_semantics():
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(1000).astype(np.float32)
+    bird = rng.standard_normal(1000).astype(np.float32)
+    n, b, m = mix_waveforms(normalize_peak(noise), normalize_peak(bird), eps=0.2)
+    for x in (n, b, m):
+        assert abs(x.min() + 1) < 1e-6 and abs(x.max() - 1) < 1e-6
+
+    spec = rng.uniform(-80, 0, (16, 16)).astype(np.float32)
+    out = midpoint_normalize(spec)
+    mmid = (spec.min() + spec.max()) / 2
+    np.testing.assert_allclose(out, -((spec - mmid) / mmid), atol=1e-6)
+
+
+def test_png_export_import_contract(tmp_path):
+    assert spec_png_name("XC12345.wav", 12.7) == "XC12345.wav_12_12.png"
+    spec = np.random.default_rng(1).uniform(-80, 0, (64, 64)).astype(np.float32)
+    p = str(tmp_path / "s.png")
+    save_spectrogram_png(spec, p)
+    back = load_image_grayscale(p)
+    assert back.shape == (64, 64) and 0 <= back.min() and back.max() <= 1
+
+    p2 = str(tmp_path / "s.npy")
+    save_spectrogram_npy(spec, p2)
+    exact = load_image_grayscale(p2)
+    want = (spec - spec.min()) / (spec.max() - spec.min())
+    np.testing.assert_allclose(exact, want, atol=1e-6)
+
+    save_generated_png(np.full((32, 32, 1), 128, np.uint8), str(tmp_path / "g.png"))
+    g = load_image_grayscale(str(tmp_path / "g.png"))
+    assert g.shape == (32, 32)
+
+
+def test_bootstrap_balancing():
+    labels = np.array([0] * 10 + [1] * 3 + [2] * 7)
+    idx = bootstrap_balance_indices(labels, np.random.default_rng(0))
+    resampled = labels[idx]
+    counts = np.bincount(resampled)
+    assert (counts == 10).all()
+
+
+def _make_folder_dataset(root, classes=("a", "b"), per_class=6, size=32):
+    rng = np.random.default_rng(0)
+    for c in classes:
+        os.makedirs(os.path.join(root, c), exist_ok=True)
+        for i in range(per_class):
+            save_spectrogram_png(
+                rng.uniform(-80, 0, (size, size)).astype(np.float32),
+                os.path.join(root, c, f"{c}_{i}.png"),
+            )
+
+
+def test_image_folder_pipeline(tmp_path):
+    root = str(tmp_path / "train")
+    _make_folder_dataset(root)
+    src = ImageFolderSource(root, bootstrap_balance=True, img_size=32)
+    assert src.classes == ["a", "b"]
+    batches = list(iterate_batches(src, batch_size=4, epochs=1))
+    assert all(b["image"].shape == (4, 32, 32, 1) for b in batches)
+    assert len(batches) == 3  # 12 balanced samples / 4
+
+
+def test_synthetic_mix(tmp_path):
+    import pandas as pd
+
+    gen_dir = str(tmp_path / "gen")
+    os.makedirs(gen_dir)
+    rng = np.random.default_rng(0)
+    for cname in ("sparrow", "owl"):
+        for samp in range(5):
+            save_generated_png(
+                rng.integers(0, 255, (16, 16, 1)).astype(np.uint8),
+                os.path.join(gen_dir, f"{cname}_gen_imgs_0_{samp}.png"),
+            )
+    # one file beyond the cap must be excluded
+    save_generated_png(np.zeros((16, 16, 1), np.uint8),
+                       os.path.join(gen_dir, "owl_gen_imgs_0_999.png"))
+
+    real = pd.DataFrame({"file_name": ["x.png"], "begin_time": [0], "common_name": ["owl"]})
+    mixed = synthetic_mix_dataframe(real, gen_dir, ["sparrow", "owl"], per_class=3, cap=250)
+    assert len(mixed) == 1 + 6
+    assert not any("999" in f for f in mixed["file_name"])
