@@ -12,6 +12,7 @@ Secondary keys (same JSON object): DDPM latent sampling throughput
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -71,17 +72,19 @@ def _bench_ddpm_sampler(num_classes=27):
     task = DiffusionTask(cfg, mesh, total_steps=100, vq_variables=vq_vars)
     state = task.init_state(0)
 
-    from spectrogramgenai_tpu.utils.benchtools import timeit_device
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     labels = jnp.arange(num_classes, dtype=jnp.int32)
     sampler = task.make_sampler()
+    # first call = compile + warmup (the 999-step scan body compiles once)
     imgs = sampler(state.params, jax.random.PRNGKey(0), labels, cfg_scale=cfg.cfg_scale)
+    device_sync(imgs)
     assert imgs.shape == (num_classes, 256, 256, 1) and imgs.dtype == jnp.uint8
 
-    def run(key):
-        return sampler(state.params, key, labels, cfg_scale=cfg.cfg_scale)
-
-    dt = timeit_device(run, jax.random.PRNGKey(1), iters=2, warmup=1)
+    t0 = time.perf_counter()
+    imgs = sampler(state.params, jax.random.PRNGKey(1), labels, cfg_scale=cfg.cfg_scale)
+    device_sync(imgs)
+    dt = time.perf_counter() - t0
     return num_classes / dt, dt
 
 
@@ -89,7 +92,7 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_bench_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass

@@ -1,0 +1,40 @@
+"""FAD CLI (rebuild of reference fad.py).
+
+  python -m spectrogramgenai_tpu.cli.fad --background_dir bg_audio \
+      --eval_dir eval_audio [--mode mel]
+  python -m spectrogramgenai_tpu.cli.fad --background_emb bg.npz --eval_emb ev.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from spectrogramgenai_tpu.eval.fad import embeddings_for_dir, fad_score, load_embeddings
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--background_dir", default=None)
+    p.add_argument("--eval_dir", default=None)
+    p.add_argument("--background_emb", default=None, help="precomputed embeddings (CLAP etc.)")
+    p.add_argument("--eval_emb", default=None)
+    p.add_argument("--mode", default="mel", choices=["mel"])
+    p.add_argument("--sample_rate", type=int, default=48000)
+    a = p.parse_args(argv)
+
+    if a.background_emb and a.eval_emb:
+        bg, ev = load_embeddings(a.background_emb), load_embeddings(a.eval_emb)
+        label = "precomputed embeddings"
+    elif a.background_dir and a.eval_dir:
+        bg = embeddings_for_dir(a.background_dir, a.mode, a.sample_rate)
+        ev = embeddings_for_dir(a.eval_dir, a.mode, a.sample_rate)
+        label = f"{a.mode} embeddings (relative comparisons only — not CLAP-comparable)"
+    else:
+        p.error("need either --background_dir/--eval_dir or --background_emb/--eval_emb")
+
+    score = fad_score(bg, ev)
+    print(f"FAD ({label}): {score:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Bulk wav → 256×256 log-mel spectrogram export.
+
+Rebuild of reference gen_specs.py / birdnet_all_spec.py (the working
+variant): reads a manifest of (file_name, begin_time, end_time, common_name)
+rows, slices 6-s windows, runs the batched TPU mel pipeline (fused Pallas on
+TPU, jnp elsewhere), and writes viridis PNGs named
+``{file}_{begin}_{begin}.png`` (plus optional exact .npy arrays).
+
+Usage:
+  python -m spectrogramgenai_tpu.cli.gen_specs --manifest specdata.csv \
+      --wav_dir Birdnet_conf_files --out_dir images [--skip_existing 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
+        skip_existing: bool = True, save_npy: bool = False, limit: int | None = None):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.export import save_spectrogram_npy, save_spectrogram_png, spec_png_name
+    from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
+    from spectrogramgenai_tpu.audio.wavio import load_wav, slice_clip
+    from spectrogramgenai_tpu.ops.mel_kernel import fused_logmel
+
+    if manifest.endswith(".npz"):
+        data = np.load(manifest, allow_pickle=True)
+        df = pd.DataFrame(data["train_df"])
+    else:
+        df = pd.read_csv(manifest)
+    if limit:
+        df = df.iloc[:limit]
+
+    os.makedirs(out_dir, exist_ok=True)
+    on_tpu = jax.default_backend() == "tpu"
+
+    # Group rows by sample rate so each device batch is uniform.
+    pending: dict[int, list] = {}
+    n_done = 0
+    t0 = time.time()
+
+    def flush(sr: int):
+        nonlocal n_done
+        rows = pending.pop(sr, [])
+        if not rows:
+            return
+        cfg = SpectrogramConfig(sample_rate=sr)
+        clips = np.stack([c for _, c in rows])
+        fn = fused_logmel if on_tpu else logmel_spectrogram
+        specs = np.asarray(fn(jnp.asarray(clips), cfg))
+        for (row, _), spec in zip(rows, specs):
+            name = spec_png_name(row["file_name"], row["begin_time"])
+            save_spectrogram_png(spec, os.path.join(out_dir, name))
+            if save_npy:
+                save_spectrogram_npy(spec, os.path.join(out_dir, name.replace(".png", ".npy")))
+            n_done += 1
+
+    for _, row in df.iterrows():
+        name = spec_png_name(row["file_name"], row["begin_time"])
+        if skip_existing and os.path.exists(os.path.join(out_dir, name)):
+            continue  # birdnet_all_spec.py:41-42 semantics
+        wav_path = os.path.join(wav_dir, row["file_name"])
+        if not os.path.exists(wav_path):
+            continue
+        wav, sr = load_wav(wav_path)
+        clip = slice_clip(wav, sr, row["begin_time"], row["end_time"])
+        pending.setdefault(sr, []).append((row, clip))
+        if len(pending[sr]) >= batch_size:
+            flush(sr)
+    for sr in list(pending):
+        flush(sr)
+
+    dt = time.time() - t0
+    print(f"wrote {n_done} spectrograms to {out_dir} in {dt:.1f}s "
+          f"({n_done / max(dt, 1e-9):.1f} specs/sec)")
+    return n_done
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--wav_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--skip_existing", type=int, default=1)
+    p.add_argument("--save_npy", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None)
+    a = p.parse_args(argv)
+    run(a.manifest, a.wav_dir, a.out_dir, a.batch_size, bool(a.skip_existing), bool(a.save_npy), a.limit)
+
+
+if __name__ == "__main__":
+    main()

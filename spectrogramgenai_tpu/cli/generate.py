@@ -1,0 +1,129 @@
+"""Conditional generation CLI (rebuild of reference ddpm_conditional_generate.py).
+
+Loads a trained DDPM checkpoint and emits `num_samples` rounds of
+one-image-per-class viridis PNGs named ``{class}_gen_imgs_{i}_{samp}.png``
+(diff_modules.py:759-775). Optional ``--sav_denoise_path`` dumps the latent
+2×2 grid + decoded image every 50 denoising steps (the reference's
+trajectory-inspection feature), instead of final images.
+
+  python -m spectrogramgenai_tpu.cli.generate --run.run_name ddpm \
+      --img_folder gen_images --num_samples 10 --start_idx 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: list[str],
+        sav_denoise_path: str | None = None, use_ema: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+    from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
+
+    mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
+    vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
+    task = DiffusionTask(cfg, mesh, total_steps=1, vq_variables=vq_vars)
+    state = task.init_state()
+    ckpt = CheckpointManager(os.path.join("models", cfg.run.run_name))
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no DDPM checkpoint under models/{cfg.run.run_name}")
+    state = restored
+
+    os.makedirs(img_folder, exist_ok=True)
+    labels = jnp.arange(cfg.num_classes, dtype=jnp.int32)
+
+    if sav_denoise_path:
+        os.makedirs(sav_denoise_path, exist_ok=True)
+        _dump_denoise_trajectory(task, state, labels, class_names, sav_denoise_path, use_ema)
+        print("not saving images, just noise portions")  # reference message parity
+        return
+
+    for samp_i in range(start_idx, start_idx + num_samples):
+        imgs = np.asarray(task.sample(state, jax.random.PRNGKey(samp_i), labels, use_ema=use_ema))
+        for i, (lab, img) in enumerate(zip(np.asarray(labels), imgs)):
+            name = f"{class_names[lab]}_gen_imgs_{i}_{samp_i}.png"
+            save_generated_png(img, os.path.join(img_folder, name))
+        print(f"sample round {samp_i}: wrote {len(imgs)} images")
+
+
+def _dump_denoise_trajectory(task, state, labels, class_names, out_dir, use_ema):
+    """Latent 2×2-grid + decoded dumps every 50 steps (diff_modules.py:661-700)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.diffusion.ddpm import ddpm_sample
+    from spectrogramgenai_tpu.models.vqvae import VQVAE
+
+    params = state.ema_params if use_ema else state.params
+    schedule = task.schedule
+
+    def callback(i, x):
+        return x  # collect every step; filter on host
+
+    x_final, traj = jax.jit(
+        lambda p, k: ddpm_sample(
+            task._apply, p, schedule, k, labels,
+            (task.sample_size, task.sample_size, task.channels),
+            cfg_scale=task.cfg.cfg_scale, callback=callback,
+        )
+    )(params, jax.random.PRNGKey(0))
+
+    steps = np.arange(schedule.noise_steps - 1, 0, -1)
+    want = {int(s) for s in steps if s % 50 == 0 or s == 1 or s == schedule.noise_steps - 1}
+    for pos, i in enumerate(steps):
+        if int(i) not in want:
+            continue
+        x = np.asarray(jnp.clip(traj[pos], -1, 1))
+        for img_i, lab in zip(x, np.asarray(labels)):
+            # 2×2 grid of the 4 latent channels
+            grid = np.block([[img_i[:, :, 0], img_i[:, :, 1]], [img_i[:, :, 2], img_i[:, :, 3]]])
+            grid_u8 = ((grid + 1) / 2 * 255).astype(np.uint8)
+            save_generated_png(grid_u8[..., None],
+                               os.path.join(out_dir, f"{class_names[lab]}_noise_{int(i)}_latent.png"))
+        if task.vqvae is not None:
+            dec = task.vqvae.apply(task.vq_variables, jnp.asarray(x), method=VQVAE.decode_quantized)
+            dec = ((np.asarray(jnp.clip(dec, -1, 1)) + 1) / 2 * 255).astype(np.uint8)
+            for img_u8, lab in zip(dec, np.asarray(labels)):
+                save_generated_png(img_u8,
+                                   os.path.join(out_dir, f"{class_names[lab]}_noise_{int(i)}_decode.png"))
+
+
+def main(argv=None):
+    from spectrogramgenai_tpu.core.config import DDPMConfig, add_config_args, apply_overrides
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--img_folder", default="gen_images")
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--sav_denoise_path", default=None)
+    p.add_argument("--use_ema", type=int, default=0)
+    p.add_argument("--train_folder_for_classes", default=None,
+                   help="derive class names from this folder's subdirs")
+    add_config_args(p, DDPMConfig)
+    a = p.parse_args(argv)
+    cfg = apply_overrides(DDPMConfig(), a)
+
+    if a.train_folder_for_classes:
+        from spectrogramgenai_tpu.data.manifest import class_names_from_folder
+
+        class_names = class_names_from_folder(a.train_folder_for_classes)
+    else:
+        class_names = [f"class{i:02d}" for i in range(cfg.num_classes)]
+
+    run(cfg, a.img_folder, a.num_samples, a.start_idx, class_names,
+        a.sav_denoise_path, bool(a.use_ema))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Conditional DDPM trainer CLI (rebuild of reference train_ddpm.py — fixed:
+the reference entry point crashes on a nonexistent import, SURVEY.md §7).
+
+Pixel-space (``--latent false``) or VQ-VAE-latent diffusion. The latent path
+loads a trained VQ-VAE checkpoint (cli/train_vqvae.py output).
+
+  python -m spectrogramgenai_tpu.cli.train_ddpm --data.dataset_path datasets \
+      --epochs 100 --latent true --vqae_ckpt models/vqvae
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def load_vq_variables(ckpt_dir: str, cfg):
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.models.vqvae import VQVAE
+    import jax
+
+    vq = VQVAE(latent_dim=cfg.latent_dim)
+    template = vq.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, cfg.img_size, cfg.img_size, 1)))
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore({"params": template["params"],
+                            "stats": {"codebook": template["codebook"]}, "step": 0})
+    if restored is None:
+        raise FileNotFoundError(f"no VQ-VAE checkpoint under {ckpt_dir}")
+    return {"params": restored["params"], **restored["stats"]}
+
+
+def run(cfg):
+    import jax
+
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.core.metrics import MetricsLogger
+    from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, device_prefetch, iterate_batches
+    from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+
+    mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
+
+    train_src = ImageFolderSource(
+        os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
+        bootstrap_balance=cfg.data.bootstrap_balance, seed=cfg.run.seed, img_size=cfg.data.img_size,
+    )
+    steps_per_epoch = len(train_src.epoch_indices()) // cfg.data.batch_size
+    total_steps = max(1, steps_per_epoch * cfg.epochs)
+
+    vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
+    task = DiffusionTask(cfg, mesh, total_steps=total_steps, vq_variables=vq_vars)
+    state = task.init_state()
+    train_step = task.make_train_step()
+    eval_step = task.make_eval_step()
+
+    run_dir = os.path.join(cfg.run.output_dir, cfg.run.run_name)
+    logger = MetricsLogger(run_dir, use_wandb=cfg.run.use_wandb)
+    ckpt = CheckpointManager(os.path.join("models", cfg.run.run_name))
+
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    val_root = os.path.join(cfg.data.dataset_path, cfg.data.val_folder)
+    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size) if os.path.isdir(val_root) else None
+
+    step_i = int(state.step)
+    for epoch in range(cfg.epochs):
+        for batch in device_prefetch(iterate_batches(train_src, cfg.data.batch_size, epochs=1), mesh):
+            state, m = train_step(state, batch["image"], batch["label"])
+            step_i += 1
+            if step_i % cfg.run.log_every == 0:
+                logger.log(step_i, epoch=epoch, train_mse=float(m["train_mse"]))
+        if cfg.do_validation and val_src is not None:
+            vals = []
+            key = jax.random.PRNGKey(epoch)
+            for batch in device_prefetch(iterate_batches(val_src, 2 * cfg.data.batch_size, epochs=1), mesh):
+                vals.append(float(eval_step(state, batch["image"], batch["label"], key)["val_mse"]))
+            if vals:
+                logger.log(step_i, epoch=epoch, val_mse=float(np.mean(vals)))
+        if epoch % cfg.log_every_epoch == 0 or epoch == cfg.epochs - 1:
+            _log_images(task, state, run_dir, epoch)
+        if epoch % cfg.run.ckpt_every_epochs == 0 or epoch == cfg.epochs - 1:
+            ckpt.save(step_i, state)
+    print(f"done; checkpoints under models/{cfg.run.run_name}")
+    return state
+
+
+def _log_images(task, state, run_dir: str, epoch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.export import save_generated_png
+
+    labels = jnp.arange(task.cfg.num_classes, dtype=jnp.int32)
+    imgs = np.asarray(task.sample(state, jax.random.PRNGKey(epoch), labels))
+    out = os.path.join(run_dir, f"samples_epoch_{epoch:04d}")
+    for i, img in enumerate(imgs):
+        save_generated_png(img, os.path.join(out, f"class_{i:02d}.png"))
+
+
+def main(argv=None):
+    from spectrogramgenai_tpu.core.config import DDPMConfig, parse_config
+
+    run(parse_config(DDPMConfig, argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""VQ-VAE trainer CLI (rebuild of reference spec_vae.py).
+
+  python -m spectrogramgenai_tpu.cli.train_vqvae --data.dataset_path datasets \
+      --data.train_folder train --data.val_folder val --epochs 10
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def run(cfg):
+    import jax
+
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.config import VQVAEConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.core.metrics import MetricsLogger
+    from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, device_prefetch, iterate_batches
+    from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
+
+    mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
+    task = VQVAETask(cfg, mesh)
+    state = task.init_state(img_size=cfg.data.img_size)
+    train_step = task.make_train_step()
+    eval_step = task.make_eval_step()
+
+    run_dir = os.path.join(cfg.run.output_dir, cfg.run.run_name)
+    logger = MetricsLogger(run_dir, use_wandb=cfg.run.use_wandb)
+    ckpt = CheckpointManager(os.path.join("models", cfg.run.run_name))
+
+    train_src = ImageFolderSource(
+        os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
+        bootstrap_balance=cfg.data.bootstrap_balance, seed=cfg.run.seed, img_size=cfg.data.img_size,
+    )
+    val_root = os.path.join(cfg.data.dataset_path, cfg.data.val_folder)
+    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size) if os.path.isdir(val_root) else None
+
+    step_i = 0
+    for epoch in range(cfg.epochs):
+        it = device_prefetch(iterate_batches(train_src, cfg.data.batch_size, epochs=1), mesh)
+        for batch in it:
+            state, m = train_step(state, batch["image"])
+            step_i += 1
+            if step_i % cfg.run.log_every == 0:
+                logger.log(step_i, epoch=epoch, **{k: float(v) for k, v in m.items()})
+        if val_src is not None:
+            vals = []
+            for batch in device_prefetch(iterate_batches(val_src, 2 * cfg.data.batch_size, epochs=1), mesh):
+                vals.append({k: float(v) for k, v in eval_step(state, batch["image"]).items()})
+            mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}
+            logger.log(step_i, epoch=epoch, **mean)
+            print(f"epoch {epoch}: {mean}")
+    ckpt.save(step_i, {"params": state.params, "stats": state.stats, "step": int(step_i)})
+    print(f"saved VQ-VAE to models/{cfg.run.run_name}")
+    return state
+
+
+def main(argv=None):
+    from spectrogramgenai_tpu.core.config import VQVAEConfig, parse_config
+
+    run(parse_config(VQVAEConfig, argv))
+
+
+if __name__ == "__main__":
+    main()
