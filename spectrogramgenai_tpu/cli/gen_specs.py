@@ -29,7 +29,6 @@ def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
 
     from spectrogramgenai_tpu.audio.export import save_spectrogram_npy, save_spectrogram_png, spec_png_name
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
-    from spectrogramgenai_tpu.audio.wavio import load_wav, slice_clip
     from spectrogramgenai_tpu.ops.mel_kernel import fused_logmel
 
     if manifest.endswith(".npz"):
@@ -64,18 +63,33 @@ def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
                 save_spectrogram_npy(spec, os.path.join(out_dir, name.replace(".png", ".npy")))
             n_done += 1
 
+    # Native C++ thread-pool decode (falls back to scipy inside load_wav_batch).
+    from spectrogramgenai_tpu.data.native_wav import load_wav_batch
+
+    rows, wav_paths = [], []
     for _, row in df.iterrows():
         name = spec_png_name(row["file_name"], row["begin_time"])
         if skip_existing and os.path.exists(os.path.join(out_dir, name)):
             continue  # birdnet_all_spec.py:41-42 semantics
         wav_path = os.path.join(wav_dir, row["file_name"])
-        if not os.path.exists(wav_path):
-            continue
-        wav, sr = load_wav(wav_path)
-        clip = slice_clip(wav, sr, row["begin_time"], row["end_time"])
-        pending.setdefault(sr, []).append((row, clip))
-        if len(pending[sr]) >= batch_size:
-            flush(sr)
+        if os.path.exists(wav_path):
+            rows.append(row)
+            wav_paths.append(wav_path)
+
+    for start in range(0, len(rows), batch_size * 4):
+        chunk_rows = rows[start : start + batch_size * 4]
+        chunk_paths = wav_paths[start : start + batch_size * 4]
+        begins = [float(int(r["begin_time"])) for r in chunk_rows]
+        ends = [float(int(r["end_time"])) for r in chunk_rows]
+        max_clip = int(6.0 * 48000)  # buffer wide enough for any common sr
+        clips, rates = load_wav_batch(chunk_paths, begins, ends, 6.0, max_clip)
+        for row, clip, sr in zip(chunk_rows, clips, rates):
+            if sr <= 0:
+                continue
+            n = int(6.0 * sr)
+            pending.setdefault(int(sr), []).append((row, clip[:n]))
+            if len(pending[int(sr)]) >= batch_size:
+                flush(int(sr))
     for sr in list(pending):
         flush(sr)
 

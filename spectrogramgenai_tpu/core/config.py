@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import types
 import typing
 
 from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
@@ -167,19 +168,22 @@ CONFIGS: dict[str, type] = {
 
 
 def _flatten_fields(cls, prefix=""):
+    hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
-        if dataclasses.is_dataclass(f.type) or (isinstance(f.type, type) and dataclasses.is_dataclass(f.type)):
-            yield from _flatten_fields(f.type, prefix + f.name + ".")
+        ftype = hints.get(f.name, f.type)
+        origin = typing.get_origin(ftype)
+        if origin is typing.Union or origin is types.UnionType:  # e.g. float | None
+            args = [a for a in typing.get_args(ftype) if a is not type(None)]
+            ftype = args[0] if args else str
+        if dataclasses.is_dataclass(ftype):
+            yield from _flatten_fields(ftype, prefix + f.name + ".")
         else:
-            yield prefix + f.name, f
+            yield prefix + f.name, ftype
 
 
 def add_config_args(parser: argparse.ArgumentParser, cls) -> None:
     """Expose every (nested) dataclass field as --dotted.path flags."""
-    for path, f in _flatten_fields(cls):
-        ftype = f.type
-        if isinstance(ftype, str):  # from __future__ annotations
-            ftype = {"int": int, "float": float, "str": str, "bool": bool}.get(ftype, str)
+    for path, ftype in _flatten_fields(cls):
         if ftype is bool:
             parser.add_argument(f"--{path}", type=lambda s: s.lower() in ("1", "true", "yes"), default=None)
         elif ftype in (int, float, str):

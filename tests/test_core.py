@@ -1,0 +1,78 @@
+"""Core layer tests: checkpoint save/restore/best, config CLI overrides,
+EMA warmup semantics, metrics sink, mesh construction."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+from spectrogramgenai_tpu.core.config import DDPMConfig, add_config_args, apply_overrides, parse_config
+from spectrogramgenai_tpu.core.ema import ema_init, ema_update
+from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, local_batch_size
+from spectrogramgenai_tpu.core.metrics import MetricsLogger
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+    mgr.save(7, state)
+    mgr.save(14, {"params": {"w": jnp.arange(4.0) * 2}, "step": jnp.asarray(14)})
+    mgr.save(21, {"params": {"w": jnp.arange(4.0) * 3}, "step": jnp.asarray(21)}, best=True, metric=0.9)
+
+    assert mgr.all_steps() == [14, 21]  # max_to_keep=2 GC'd step 7
+    restored = mgr.restore(state)
+    assert int(restored["step"]) == 21
+    np.testing.assert_allclose(restored["params"]["w"], np.arange(4.0) * 3)
+
+    best = mgr.restore(state, best=True)
+    assert int(best["step"]) == 21
+    assert mgr.meta(best=True)["metric"] == 0.9
+
+    restored14 = mgr.restore(state, step=14)
+    np.testing.assert_allclose(restored14["params"]["w"], np.arange(4.0) * 2)
+
+
+def test_config_overrides():
+    cfg = parse_config(DDPMConfig, ["--lr", "0.001", "--data.batch_size", "32",
+                                    "--run.run_name", "exp1", "--latent", "false"])
+    assert cfg.lr == 0.001
+    assert cfg.data.batch_size == 32
+    assert cfg.run.run_name == "exp1"
+    assert cfg.latent is False
+    assert cfg.noise_steps == 1000  # untouched defaults
+
+
+def test_ema_warmup_then_lerp():
+    params = {"w": jnp.ones(3)}
+    ema = ema_init(params)
+    new_params = {"w": jnp.full(3, 2.0)}
+    # warmup: copy
+    ema = ema_update(ema, new_params, step=jnp.asarray(10), beta=0.995, step_start=2000)
+    np.testing.assert_allclose(ema["w"], 2.0)
+    # after warmup: lerp
+    ema = ema_update(ema, {"w": jnp.full(3, 4.0)}, step=jnp.asarray(3000), beta=0.5, step_start=2000)
+    np.testing.assert_allclose(ema["w"], 3.0)
+
+
+def test_metrics_logger(tmp_path):
+    run_dir = str(tmp_path / "run")
+    with MetricsLogger(run_dir, csv_name="res.csv", csv_columns=["Epoch", "Loss"]) as m:
+        m.log(1, loss=0.5, lr=1e-3)
+        m.log(2, loss=0.25)
+        m.log_csv_row({"Epoch": 0, "Loss": 0.5})
+        m.log_csv_row({"Epoch": 1, "Loss": 0.25, "ignored": 1})
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+    csv_lines = open(os.path.join(run_dir, "res.csv")).read().strip().splitlines()
+    assert csv_lines[0] == "Epoch,Loss" and len(csv_lines) == 3
+
+
+def test_mesh_shapes():
+    mesh = create_mesh(MeshSpec(data=-1, model=2))
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    assert local_batch_size(16, mesh) == 4
+    mesh1 = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    assert mesh1.shape["data"] == 1
