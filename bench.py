@@ -92,20 +92,25 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_bench_cache"))
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
 
+    import sys
+
     cfg = SpectrogramConfig(sample_rate=22050)
+    print("bench: mel…", file=sys.stderr, flush=True)
     dev_sps, cpu_sps, max_err_db = _bench_mel(cfg)
+    print(f"bench: mel done ({dev_sps:.0f}/s); ddpm…", file=sys.stderr, flush=True)
 
     try:
         ddpm_sps, ddpm_chain_s = _bench_ddpm_sampler()
-    except Exception as e:  # keep the headline metric robust
+    except Exception:  # keep the headline metric robust
         ddpm_sps, ddpm_chain_s = None, None
+    print("bench: ddpm done", file=sys.stderr, flush=True)
 
     result = {
         "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
