@@ -48,14 +48,45 @@ def run(cfg):
                 logger.log(step_i, epoch=epoch, **{k: float(v) for k, v in m.items()})
         if val_src is not None:
             vals = []
+            last_batch = None
             for batch in device_prefetch(iterate_batches(val_src, 2 * cfg.data.batch_size, epochs=1), mesh):
                 vals.append({k: float(v) for k, v in eval_step(state, batch["image"]).items()})
+                last_batch = batch
             mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}
             logger.log(step_i, epoch=epoch, **mean)
             print(f"epoch {epoch}: {mean}")
+            if last_batch is not None:
+                _plot_reconstructions(task, state, np.asarray(last_batch["image"][:8]), run_dir, epoch)
     ckpt.save(step_i, {"params": state.params, "stats": state.stats, "step": int(step_i)})
     print(f"saved VQ-VAE to models/{cfg.run.run_name}")
     return state
+
+
+def _plot_reconstructions(task, state, images: np.ndarray, run_dir: str, epoch: int):
+    """4-row orig / z-grid / z_q-grid / recon plot (reference spec_vae.py
+    plot_images_torch capability)."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x_hat, z, z_q = task.reconstruct(state, jnp.asarray(images))
+    x_hat, z, z_q = np.asarray(x_hat), np.asarray(z), np.asarray(z_q)
+    n = min(4, len(images))
+    fig, axes = plt.subplots(4, n, figsize=(3 * n, 10))
+    for i in range(n):
+        z_grid = np.block([[z[i, :, :, 0], z[i, :, :, 1]], [z[i, :, :, 2], z[i, :, :, 3]]])
+        zq_grid = np.block([[z_q[i, :, :, 0], z_q[i, :, :, 1]], [z_q[i, :, :, 2], z_q[i, :, :, 3]]])
+        for r, img in enumerate((images[i, :, :, 0], z_grid, zq_grid, x_hat[i, :, :, 0])):
+            ax = axes[r, i] if n > 1 else axes[r]
+            ax.imshow(img, origin="lower", cmap="viridis")
+            ax.axis("off")
+    for r, title in enumerate(("original", "z (latent)", "z_q (quantized)", "reconstruction")):
+        (axes[r, 0] if n > 1 else axes[r]).set_title(title, fontsize=9, loc="left")
+    fig.tight_layout()
+    fig.savefig(os.path.join(run_dir, f"recon_epoch_{epoch:03d}.png"), dpi=120)
+    plt.close(fig)
 
 
 def main(argv=None):
