@@ -22,15 +22,49 @@ import numpy as np
 
 
 def evaluate(task, state, src, mesh, batch_size: int, num_classes: int):
-    from spectrogramgenai_tpu.data.pipeline import device_prefetch, iterate_batches
+    from spectrogramgenai_tpu.core.mesh import DATA_AXIS, shard_batch
+    from spectrogramgenai_tpu.data.pipeline import iterate_batches
     from spectrogramgenai_tpu.eval.classification import ClassificationMetrics
 
     eval_step = task.make_eval_step()
     metrics = ClassificationMetrics(num_classes)
-    for batch in device_prefetch(iterate_batches(src, batch_size, epochs=1, drop_remainder=False), mesh):
-        logits, loss = eval_step(state, batch["image"], batch["label"])
-        metrics.update(np.asarray(logits), np.asarray(batch["label"]), float(loss))
+    data_size = mesh.shape[DATA_AXIS]
+    for batch in iterate_batches(src, batch_size, epochs=1, drop_remainder=False):
+        n = len(batch["label"])
+        pad = (-n) % data_size  # eval sets aren't always divisible by the mesh
+        if pad:
+            batch = {
+                "image": np.concatenate([batch["image"], np.zeros((pad, *batch["image"].shape[1:]),
+                                                                  batch["image"].dtype)]),
+                "label": np.concatenate([batch["label"], np.zeros(pad, batch["label"].dtype)]),
+            }
+        sharded = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+        logits, loss = eval_step(state, sharded["image"], sharded["label"])
+        metrics.update(np.asarray(logits)[:n], np.asarray(batch["label"])[:n], float(loss))
     return metrics
+
+
+def load_denoiser_apply(ckpt_dir: str | None):
+    """Optional noise-reduction preprocessing: x ← renorm(x − denoise(x))
+    (reference nr_path flow, train_acgan.py:31-35, helpers.py:758-761)."""
+    if not ckpt_dir:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.models.denoiser import TransformerDenoiser
+
+    model = TransformerDenoiser()
+    template = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 256, 256, 1)))
+    restored = CheckpointManager(ckpt_dir).restore({"params": template["params"]})
+    if restored is None:
+        raise FileNotFoundError(f"no denoiser checkpoint under {ckpt_dir}")
+
+    def apply(x):
+        return model.apply({"params": restored["params"]}, x, deterministic=True)
+
+    return apply
 
 
 def train_one(model_name: str, synth: int, args, cfg_base):
@@ -45,6 +79,8 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
 
     cfg = dataclasses.replace(cfg_base, model_name=model_name, synthetic_per_class=synth)
+    if getattr(args, "denoiser_ckpt", None):
+        cfg = dataclasses.replace(cfg, use_denoiser=True)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
 
     train_src = ImageFolderSource(args.train_dir, seed=cfg.run.seed, img_size=cfg.data.img_size)
@@ -55,7 +91,7 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     num_classes = len(train_src.classes)
     cfg = dataclasses.replace(cfg, num_classes=num_classes)
 
-    task = ClassifierTask(cfg, mesh)
+    task = ClassifierTask(cfg, mesh, denoiser_apply=load_denoiser_apply(getattr(args, "denoiser_ckpt", None)))
     state = task.init_state(img_size=cfg.data.img_size)
     step = task.make_train_step()
 
@@ -121,6 +157,7 @@ def main(argv=None):
     p.add_argument("--gen_dir", default=None)
     p.add_argument("--models", default="resnet,vgg,mobilenet,custom,ensemble")
     p.add_argument("--synths", default="0,50,100,150,200,250")
+    p.add_argument("--denoiser_ckpt", default=None)
     add_config_args(p, ClassifierConfig)
     a = p.parse_args(argv)
     cfg = apply_overrides(ClassifierConfig(), a)

@@ -22,7 +22,8 @@ def load_vq_variables(ckpt_dir: str, cfg):
     from spectrogramgenai_tpu.models.vqvae import VQVAE
     import jax
 
-    vq = VQVAE(latent_dim=cfg.latent_dim)
+    vq = VQVAE(hidden_dim=cfg.vq_hidden_dim, latent_dim=cfg.latent_dim,
+               n_embeddings=cfg.vq_n_embeddings)
     template = vq.init({"params": jax.random.PRNGKey(0)},
                        jnp.zeros((1, cfg.img_size, cfg.img_size, 1)))
     mgr = CheckpointManager(ckpt_dir)

@@ -64,6 +64,8 @@ class DDPMConfig:
     latent_dim: int = 4
     latent_downscale: int = 4      # img_size // 4 (diff_modules.py:621)
     vqae_ckpt: str = "models/VQAE"
+    vq_hidden_dim: int = 512       # must match the trained VQ-VAE (diff_modules.py:609)
+    vq_n_embeddings: int = 512
     lr: float = 5e-3               # AdamW max_lr with OneCycle (diff_modules.py:551-557)
     adam_eps: float = 1e-5
     cfg_scale: float = 3.0

@@ -125,8 +125,9 @@ def device_prefetch(batch_iter: Iterator[dict], mesh, depth: int = 2) -> Iterato
         try:
             for batch in batch_iter:
                 q.put(shard_batch(mesh, batch))
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # surface errors in the consumer, never swallow
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -134,6 +135,8 @@ def device_prefetch(batch_iter: Iterator[dict], mesh, depth: int = 2) -> Iterato
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -8,6 +8,8 @@ gather), and attention over flattened spatial tokens.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -91,23 +93,47 @@ class SpatialSelfAttention(nn.Module):
     """Token self-attention over the H×W grid (diff_modules.py:52-72).
 
     LN → 4-head MHA → +residual → (LN→Dense→GELU→Dense) → +residual.
+
+    ``fused=True`` routes the attention core through the Pallas kernel
+    (ops/attention.py) — bit-equivalent math, no HBM score matrix; used on
+    the sampling path where the 4096-token blocks are memory-bound. The
+    einsum path stays for training (differentiable). Both paths share the
+    same parameters.
     """
 
     channels: int
     num_heads: int = 4
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        head_dim = c // self.num_heads
         tokens = x.reshape(b, h * w, c)
         ln = nn.LayerNorm(dtype=self.dtype)(tokens)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=c,
-            out_features=c,
-            dtype=self.dtype,
-        )(ln, ln)
+
+        dense = functools.partial(
+            nn.DenseGeneral, features=(self.num_heads, head_dim), axis=-1, dtype=self.dtype
+        )
+        q = dense(name="query")(ln)  # (B, N, H, Dh)
+        k = dense(name="key")(ln)
+        v = dense(name="value")(ln)
+
+        n = h * w
+        use_fused = self.fused and n >= 1024 and n % 256 == 0
+        if use_fused:
+            from spectrogramgenai_tpu.ops.attention import fused_attention
+
+            ctx = fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(head_dim).astype(q.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        attn = nn.DenseGeneral(features=c, axis=(-2, -1), dtype=self.dtype, name="out")(ctx)
+
         tokens = tokens + attn
         y = nn.LayerNorm(dtype=self.dtype)(tokens)
         y = nn.Dense(c, dtype=self.dtype)(y)

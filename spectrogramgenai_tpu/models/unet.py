@@ -38,6 +38,7 @@ class ConditionalUNet(nn.Module):
     num_classes: int | None = 27
     remove_deep_conv: bool = False
     width_mult: float = 1.0  # dev/test knob; 1.0 = reference channel plan
+    fused_attention: bool = False  # Pallas attention core (sampling path)
     dtype: jnp.dtype = jnp.float32
 
     def _w(self, c: int) -> int:
@@ -60,11 +61,11 @@ class ConditionalUNet(nn.Module):
         x = x.astype(dt)
         x1 = DoubleConv(w(64), dtype=dt)(x)
         x2 = Down(w(64), w(128), dtype=dt)(x1, t_emb)
-        x2 = SpatialSelfAttention(w(128), dtype=dt)(x2)
+        x2 = SpatialSelfAttention(fused=self.fused_attention, channels=w(128), dtype=dt)(x2)
         x3 = Down(w(128), w(256), dtype=dt)(x2, t_emb)
-        x3 = SpatialSelfAttention(w(256), dtype=dt)(x3)
+        x3 = SpatialSelfAttention(fused=self.fused_attention, channels=w(256), dtype=dt)(x3)
         x4 = Down(w(256), w(256), dtype=dt)(x3, t_emb)
-        x4 = SpatialSelfAttention(w(256), dtype=dt)(x4)
+        x4 = SpatialSelfAttention(fused=self.fused_attention, channels=w(256), dtype=dt)(x4)
 
         if self.remove_deep_conv:
             x4 = DoubleConv(w(256), dtype=dt)(x4)
@@ -75,11 +76,11 @@ class ConditionalUNet(nn.Module):
             x4 = DoubleConv(w(256), dtype=dt)(x4)
 
         xu = Up(w(512), w(128), dtype=dt)(x4, x3, t_emb)
-        xu = SpatialSelfAttention(w(128), dtype=dt)(xu)
+        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(128), dtype=dt)(xu)
         xu = Up(w(256), w(64), dtype=dt)(xu, x2, t_emb)
-        xu = SpatialSelfAttention(w(64), dtype=dt)(xu)
+        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(64), dtype=dt)(xu)
         xu = Up(w(128), w(64), dtype=dt)(xu, x1, t_emb)
-        xu = SpatialSelfAttention(w(64), dtype=dt)(xu)
+        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(64), dtype=dt)(xu)
         return nn.Conv(self.c_out, (1, 1), dtype=dt, name="outc")(xu).astype(jnp.float32)
 
 

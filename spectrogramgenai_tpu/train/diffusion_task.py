@@ -47,7 +47,8 @@ def _dtype(name: str):
 
 
 class DiffusionTask:
-    def __init__(self, cfg: DDPMConfig, mesh, total_steps: int, vq_variables: Any | None = None):
+    def __init__(self, cfg: DDPMConfig, mesh, total_steps: int, vq_variables: Any | None = None,
+                 vqvae: VQVAE | None = None):
         self.cfg = cfg
         self.mesh = mesh
         self.schedule: DiffusionSchedule = linear_schedule(cfg.noise_steps, cfg.beta_start, cfg.beta_end)
@@ -56,7 +57,12 @@ class DiffusionTask:
         if cfg.latent:
             self.sample_size = cfg.img_size // cfg.latent_downscale
             self.channels = cfg.latent_dim
-            self.vqvae = VQVAE(latent_dim=cfg.latent_dim, dtype=dt)
+            self.vqvae = vqvae if vqvae is not None else VQVAE(
+                hidden_dim=cfg.vq_hidden_dim,
+                latent_dim=cfg.latent_dim,
+                n_embeddings=cfg.vq_n_embeddings,
+                dtype=dt,
+            )
             if vq_variables is None:
                 raise ValueError("latent diffusion needs trained VQ-VAE variables (cfg.vqae_ckpt)")
             self.vq_variables = vq_variables
@@ -75,6 +81,9 @@ class DiffusionTask:
             width_mult=cfg.width_mult,
             dtype=dt,
         )
+        # Same params, Pallas attention core — used for the sampling chain
+        # where the 4096-token attention blocks are HBM-bound.
+        self.sample_model = self.model.clone(fused_attention=jax.default_backend() == "tpu")
         self.tx = common.make_adamw_onecycle(cfg.lr, total_steps, eps=cfg.adam_eps)
 
     # -- state -----------------------------------------------------------------
@@ -98,6 +107,9 @@ class DiffusionTask:
 
     def _apply(self, params, x, t, y, cond_mask):
         return self.model.apply({"params": params}, x, t, y, cond_mask)
+
+    def _apply_sample(self, params, x, t, y, cond_mask):
+        return self.sample_model.apply({"params": params}, x, t, y, cond_mask)
 
     # -- train ------------------------------------------------------------------
     def _train_step(self, state: TrainState, images: jax.Array, labels: jax.Array):
@@ -132,7 +144,7 @@ class DiffusionTask:
     # -- sampling ----------------------------------------------------------------
     def _sample(self, params, key: jax.Array, labels: jax.Array, cfg_scale: float):
         x = ddpm_sample(
-            self._apply,
+            self._apply_sample,
             params,
             self.schedule,
             key,

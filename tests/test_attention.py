@@ -1,0 +1,54 @@
+"""Fused attention kernel vs einsum reference, and the SA module's two paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogramgenai_tpu.ops.attention import fused_attention
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def einsum_attention(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(d)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def test_fused_attention_matches_einsum():
+    rng = np.random.default_rng(0)
+    for (b, h, n, d) in [(2, 4, 1024, 16), (1, 4, 2048, 32)]:
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        got = np.asarray(fused_attention(q, k, v, interpret=INTERPRET))
+        want = np.asarray(einsum_attention(q, k, v))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sa_module_paths_equivalent():
+    from spectrogramgenai_tpu.models.layers import SpatialSelfAttention
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 32, 64)), jnp.float32)
+    sa = SpatialSelfAttention(channels=64)
+    variables = sa.init(jax.random.PRNGKey(0), x)
+    ref = sa.apply(variables, x)
+
+    if INTERPRET:
+        # Fused path requires the TPU kernel; on CPU just check the flag
+        # falls back or interpret-mode matches.
+        import spectrogramgenai_tpu.ops.attention as attn_mod
+        import functools
+
+        orig = attn_mod.fused_attention
+        attn_mod.fused_attention = functools.partial(orig, interpret=True)
+        try:
+            sa_fused = SpatialSelfAttention(channels=64, fused=True)
+            out = sa_fused.apply(variables, x)
+        finally:
+            attn_mod.fused_attention = orig
+    else:
+        sa_fused = SpatialSelfAttention(channels=64, fused=True)
+        out = sa_fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

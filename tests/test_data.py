@@ -140,3 +140,18 @@ def test_synthetic_mix(tmp_path):
     mixed = synthetic_mix_dataframe(real, gen_dir, ["sparrow", "owl"], per_class=3, cap=250)
     assert len(mixed) == 1 + 6
     assert not any("999" in f for f in mixed["file_name"])
+
+
+def test_device_prefetch_propagates_errors():
+    import pytest
+
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.data.pipeline import device_prefetch
+
+    mesh = create_mesh(MeshSpec(data=8))
+
+    def bad_iter():
+        yield {"image": np.zeros((4, 8, 8, 1), np.float32)}  # 4 not divisible by 8
+
+    with pytest.raises(Exception):
+        list(device_prefetch(bad_iter(), mesh))
