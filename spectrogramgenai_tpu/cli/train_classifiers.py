@@ -22,25 +22,14 @@ import numpy as np
 
 
 def evaluate(task, state, src, mesh, batch_size: int, num_classes: int):
-    from spectrogramgenai_tpu.core.mesh import DATA_AXIS, shard_batch
-    from spectrogramgenai_tpu.data.pipeline import iterate_batches
+    from spectrogramgenai_tpu.data.pipeline import padded_eval_batches
     from spectrogramgenai_tpu.eval.classification import ClassificationMetrics
 
     eval_step = task.make_eval_step()
     metrics = ClassificationMetrics(num_classes)
-    data_size = mesh.shape[DATA_AXIS]
-    for batch in iterate_batches(src, batch_size, epochs=1, drop_remainder=False):
-        n = len(batch["label"])
-        pad = (-n) % data_size  # eval sets aren't always divisible by the mesh
-        if pad:
-            batch = {
-                "image": np.concatenate([batch["image"], np.zeros((pad, *batch["image"].shape[1:]),
-                                                                  batch["image"].dtype)]),
-                "label": np.concatenate([batch["label"], np.zeros(pad, batch["label"].dtype)]),
-            }
-        sharded = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+    for sharded, n in padded_eval_batches(src, batch_size, mesh):
         logits, loss = eval_step(state, sharded["image"], sharded["label"])
-        metrics.update(np.asarray(logits)[:n], np.asarray(batch["label"])[:n], float(loss))
+        metrics.update(np.asarray(logits)[:n], np.asarray(sharded["label"])[:n], float(loss))
     return metrics
 
 

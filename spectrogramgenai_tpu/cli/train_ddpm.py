@@ -78,9 +78,11 @@ def run(cfg):
             if step_i % cfg.run.log_every == 0:
                 logger.log(step_i, epoch=epoch, train_mse=float(m["train_mse"]))
         if cfg.do_validation and val_src is not None:
+            from spectrogramgenai_tpu.data.pipeline import padded_eval_batches
+
             vals = []
             key = jax.random.PRNGKey(epoch)
-            for batch in device_prefetch(iterate_batches(val_src, 2 * cfg.data.batch_size, epochs=1), mesh):
+            for batch, _n in padded_eval_batches(val_src, 2 * cfg.data.batch_size, mesh):
                 vals.append(float(eval_step(state, batch["image"], batch["label"], key)["val_mse"]))
             if vals:
                 logger.log(step_i, epoch=epoch, val_mse=float(np.mean(vals)))

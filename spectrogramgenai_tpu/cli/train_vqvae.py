@@ -47,9 +47,11 @@ def run(cfg):
             if step_i % cfg.run.log_every == 0:
                 logger.log(step_i, epoch=epoch, **{k: float(v) for k, v in m.items()})
         if val_src is not None:
+            from spectrogramgenai_tpu.data.pipeline import padded_eval_batches
+
             vals = []
             last_batch = None
-            for batch in device_prefetch(iterate_batches(val_src, 2 * cfg.data.batch_size, epochs=1), mesh):
+            for batch, _n in padded_eval_batches(val_src, 2 * cfg.data.batch_size, mesh):
                 vals.append({k: float(v) for k, v in eval_step(state, batch["image"]).items()})
                 last_batch = batch
             mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}

@@ -140,6 +140,25 @@ def device_prefetch(batch_iter: Iterator[dict], mesh, depth: int = 2) -> Iterato
         yield item
 
 
+def padded_eval_batches(source, batch_size: int, mesh):
+    """Evaluation batches: keep the remainder, zero-pad each batch up to a
+    multiple of the mesh's data-axis size, and yield (sharded_batch, n_true).
+
+    Eval sets are rarely divisible by the device count; training can drop the
+    remainder but evaluation must not (the reference evaluates every sample).
+    """
+    from spectrogramgenai_tpu.core.mesh import DATA_AXIS, shard_batch
+
+    data_size = mesh.shape[DATA_AXIS]
+    for batch in iterate_batches(source, batch_size, epochs=1, drop_remainder=False):
+        n = len(next(iter(batch.values())))
+        pad = (-n) % data_size
+        if pad:
+            batch = {k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                     for k, v in batch.items()}
+        yield shard_batch(mesh, batch), n
+
+
 def synthetic_mix_dataframe(real_df, gen_dir: str, class_names: list[str],
                             per_class: int, cap: int = 250, seed: int = 0):
     """Real+synthetic training mix (helpers.py:602-669): sample `per_class`

@@ -65,7 +65,10 @@ class DiffusionTask:
             )
             if vq_variables is None:
                 raise ValueError("latent diffusion needs trained VQ-VAE variables (cfg.vqae_ckpt)")
-            self.vq_variables = vq_variables
+            # jnp-ify: checkpoint restores hand back NumPy leaves, and NumPy
+            # fancy-indexing with a traced index (codebook lookup inside the
+            # jitted sampler) raises TracerArrayConversionError.
+            self.vq_variables = jax.tree_util.tree_map(jnp.asarray, vq_variables)
         else:
             self.sample_size = cfg.img_size
             self.channels = cfg.c_in
