@@ -75,6 +75,11 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     train_src = ImageFolderSource(args.train_dir, seed=cfg.run.seed, img_size=cfg.data.img_size)
     if synth > 0 and args.gen_dir:
         _inject_synthetic(train_src, args.gen_dir, synth, cfg.synthetic_cap, cfg.run.seed)
+    if getattr(args, "embeddings_csv", None):
+        # BirdNET embedding soft targets for knowledge distillation
+        # (reference helpers.py:612-637 merges embedding CSVs into the df).
+        _attach_embeddings(train_src, args.embeddings_csv)
+        cfg = dataclasses.replace(cfg, knowledge_dist=True)
     val_src = ImageFolderSource(args.val_dir, img_size=cfg.data.img_size)
     test_src = ImageFolderSource(args.test_dir, img_size=cfg.data.img_size) if args.test_dir else None
     num_classes = len(train_src.classes)
@@ -113,6 +118,30 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     return best_val
 
 
+def _attach_embeddings(src, embeddings_csv: str):
+    """Attach per-file BirdNET embedding vectors to an ImageFolderSource.
+
+    CSV columns: file_name, embeddings (comma-joined floats). Files without a
+    row get a zero vector (KD term then pushes toward uniform — matching the
+    reference's behavior of only distilling where embeddings exist is achieved
+    by passing a curated CSV)."""
+    import pandas as pd
+
+    df = pd.read_csv(embeddings_csv)
+    table = {os.path.basename(fn): np.asarray([float(v) for v in emb.split(",")], np.float32)
+             for fn, emb in zip(df["file_name"], df["embeddings"])}
+    dim = len(next(iter(table.values())))
+
+    orig_load = src.load
+
+    def load(i):
+        out = orig_load(i)
+        out["embedding"] = table.get(os.path.basename(src.paths[i]), np.zeros(dim, np.float32))
+        return out
+
+    src.load = load
+
+
 def _inject_synthetic(src, gen_dir: str, per_class: int, cap: int, seed: int):
     """Append per-class generated PNGs (idx<cap) to an ImageFolderSource."""
     import re
@@ -147,6 +176,8 @@ def main(argv=None):
     p.add_argument("--models", default="resnet,vgg,mobilenet,custom,ensemble")
     p.add_argument("--synths", default="0,50,100,150,200,250")
     p.add_argument("--denoiser_ckpt", default=None)
+    p.add_argument("--embeddings_csv", default=None,
+                   help="BirdNET embeddings CSV (file_name, embeddings) → enables KD")
     add_config_args(p, ClassifierConfig)
     a = p.parse_args(argv)
     cfg = apply_overrides(ClassifierConfig(), a)

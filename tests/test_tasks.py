@@ -80,3 +80,21 @@ def test_acgan_step_runs_and_updates():
     z = task.build_noise(jax.random.PRNGKey(1), jnp.asarray(labels))
     imgs = task.generate(state, z)
     assert imgs.shape == (8, 256, 256, 1)
+
+
+def test_acgan_aind_mode():
+    """DiscriminatorInd variant: third regression head on acoustic indices."""
+    cfg = ACGANConfig(num_classes=4, use_aind=True, n_ind=11, run=RunConfig(seed=0),
+                      data=DataConfig(batch_size=8), compute_dtype="float32")
+    mesh = create_mesh(MeshSpec(data=8))
+    task = ACGANTask(cfg, mesh)
+    assert task.total_noise == 64 + 4 + 11
+    state = task.init_state()
+    step = task.make_train_step()
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (8, 256, 256, 1)).astype(np.float32)
+    labels = rng.integers(0, 4, (8,)).astype(np.int32)
+    a_ind = rng.standard_normal((8, 11)).astype(np.float32)
+    batch = shard_batch(mesh, {"image": images, "label": labels, "a_ind": a_ind})
+    state, m = step(state, batch["image"], batch["label"], batch["a_ind"])
+    assert np.isfinite(float(m["loss_G"])) and np.isfinite(float(m["loss_D"]))
