@@ -73,6 +73,49 @@ def latex_table(agg: pd.DataFrame) -> str:
     return "\n".join(lines)
 
 
+def split_distribution_table(dfs: dict, out_path: str):
+    """Per-class split-count LaTeX table with proportional color bars
+    (reference paper_plots.R capability)."""
+    import pandas as pd
+
+    counts = pd.DataFrame({name: df["common_name"].value_counts() for name, df in dfs.items()}).fillna(0)
+    counts = counts.astype(int).sort_index()
+    total = counts.sum(axis=1)
+    lines = ["\\begin{tabular}{l" + "r" * (len(counts.columns) + 1) + "}", "\\toprule",
+             "class & " + " & ".join(counts.columns) + " & total \\\\", "\\midrule"]
+    for cname, row in counts.iterrows():
+        cells = " & ".join(
+            f"\\databar{{{v / max(1, total[cname]):.2f}}}{{{v}}}" for v in row
+        )
+        lines.append(f"{cname} & {cells} & {total[cname]} \\\\")
+    lines += ["\\bottomrule", "\\end{tabular}"]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def recording_effort_heatmap(df, out_path: str, time_col: str = "recording_time"):
+    """Recording-effort heatmap: recordings per (month × hour)
+    (reference data_time_plot.R capability). Expects a datetime column."""
+    import matplotlib
+    import pandas as pd
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    times = pd.to_datetime(df[time_col])
+    grid = pd.crosstab(times.dt.month, times.dt.hour)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    im = ax.imshow(grid, aspect="auto", cmap="viridis", origin="lower")
+    ax.set_xlabel("hour of day")
+    ax.set_ylabel("month")
+    ax.set_yticks(range(len(grid.index)))
+    ax.set_yticklabels(grid.index)
+    fig.colorbar(im, label="recordings")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--results_dir", default="results")

@@ -74,6 +74,7 @@ class DDPMConfig:
     ema_start: int = 2000
     do_validation: bool = True
     log_every_epoch: int = 10
+    rounds_per_chain: int = 4      # generation rounds batched into one scan
     compute_dtype: str = "bfloat16"  # replaces fp16 autocast + GradScaler
 
 
