@@ -17,17 +17,52 @@ import os
 import numpy as np
 
 
-def run(cfg, st_epochs: int = 0):
+def _manifest_source(cfg, manifest: str, lab_csv: str | None, ai_csv: str | None, im_path: str):
+    """DataFrame-manifest mode (reference train_acgan.py:24,52-84): specdata.npz
+    splits keyed by the label CSV's columns, optional acoustic-index merge with
+    per-column z-normalization."""
+    import pandas as pd
+
+    from spectrogramgenai_tpu.data.manifest import load_specdata_manifest
+    from spectrogramgenai_tpu.data.pipeline import DataFrameImageSource
+
+    columns = None
+    if lab_csv:
+        columns = ["index0"] + list(pd.read_csv(lab_csv).columns)
+    train_df, _test_df, classes = load_specdata_manifest(manifest, columns)
+
+    indices_columns = None
+    if cfg.use_aind and ai_csv:
+        aind_df = pd.read_csv(ai_csv)
+        indices_columns = ["ACI", "ADiv", "AEve", "BioA", "H", "Ht", "M",
+                           "NDSI", "NDSIAnthro", "NDSIBio", "AR"]
+        train_df = train_df.merge(
+            aind_df,
+            left_on=["file_name", "begin_time", "end_time"],
+            right_on=["file_path", "begin_time", "end_time"],
+        )
+        for col in indices_columns:
+            train_df[col] = (train_df[col] - train_df[col].mean()) / train_df[col].std(ddof=0)
+
+    src = DataFrameImageSource(train_df, im_path, classes, indices_columns=indices_columns,
+                               seed=cfg.run.seed)
+    return src, classes
+
+
+def run(cfg, st_epochs: int = 0, manifest: str | None = None, lab_csv: str | None = None,
+        ai_csv: str | None = None, im_path: str = "."):
     import jax
     import jax.numpy as jnp
 
     from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.cli.common import setup
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.core.metrics import MetricsLogger
     from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, device_prefetch, iterate_batches
     from spectrogramgenai_tpu.train.acgan_task import ACGANTask
 
+    setup(cfg.run)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     task = ACGANTask(cfg, mesh)
     state = task.init_state()
@@ -45,10 +80,13 @@ def run(cfg, st_epochs: int = 0):
         if restored is not None:
             state = restored
 
-    src = ImageFolderSource(
-        os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
-        seed=cfg.run.seed, img_size=cfg.data.img_size,
-    )
+    if manifest:
+        src, _classes = _manifest_source(cfg, manifest, lab_csv, ai_csv, im_path)
+    else:
+        src = ImageFolderSource(
+            os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
+            seed=cfg.run.seed, img_size=cfg.data.img_size,
+        )
 
     # fixed eval noise (train_acgan.py:119-123)
     key = jax.random.PRNGKey(cfg.run.seed)
@@ -101,9 +139,13 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--st_epochs", type=int, default=0)
+    p.add_argument("--manifest", default=None, help="specdata.npz (DataFrame mode)")
+    p.add_argument("--lab_csv", default=None, help="label CSV providing the manifest's columns")
+    p.add_argument("--ai_csv", default=None, help="acoustic-index CSV (with --use_aind true)")
+    p.add_argument("--im_path", default=".", help="spectrogram image folder for DataFrame mode")
     add_config_args(p, ACGANConfig)
     a = p.parse_args(argv)
-    run(apply_overrides(ACGANConfig(), a), a.st_epochs)
+    run(apply_overrides(ACGANConfig(), a), a.st_epochs, a.manifest, a.lab_csv, a.ai_csv, a.im_path)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,10 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     )
     from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
 
+    from spectrogramgenai_tpu.cli.common import setup
+
     cfg = dataclasses.replace(cfg_base, model_name=model_name, synthetic_per_class=synth)
+    setup(cfg.run)
     if getattr(args, "denoiser_ckpt", None):
         cfg = dataclasses.replace(cfg, use_denoiser=True)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))

@@ -43,6 +43,9 @@ def run(cfg):
     from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, device_prefetch, iterate_batches
     from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
 
+    from spectrogramgenai_tpu.cli.common import setup
+
+    setup(cfg.run)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
 
     train_src = ImageFolderSource(

@@ -63,6 +63,9 @@ def run(args):
     from spectrogramgenai_tpu.train.specunet_task import SpecUNetTask
 
     cfg = args.cfg
+    from spectrogramgenai_tpu.cli.common import setup
+
+    setup(cfg.run)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     task = SpecUNetTask(cfg, mesh)
     state = task.init_state(img_size=256)

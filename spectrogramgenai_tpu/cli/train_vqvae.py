@@ -21,6 +21,9 @@ def run(cfg):
     from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, device_prefetch, iterate_batches
     from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
 
+    from spectrogramgenai_tpu.cli.common import setup
+
+    setup(cfg.run)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     task = VQVAETask(cfg, mesh)
     state = task.init_state(img_size=cfg.data.img_size)
