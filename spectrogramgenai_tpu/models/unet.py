@@ -39,10 +39,17 @@ class ConditionalUNet(nn.Module):
     remove_deep_conv: bool = False
     width_mult: float = 1.0  # dev/test knob; 1.0 = reference channel plan
     fused_attention: bool = False  # Pallas attention core (sampling path)
+    remat_attention: bool = True   # rematerialize SA blocks in backward:
+    # the 4096-token score/prob tensors otherwise stay live across the whole
+    # backward pass and blow past HBM at training batch sizes.
     dtype: jnp.dtype = jnp.float32
 
     def _w(self, c: int) -> int:
         return max(8, int(c * self.width_mult))
+
+    def _sa(self, channels: int):
+        cls = nn.remat(SpatialSelfAttention) if self.remat_attention else SpatialSelfAttention
+        return cls(fused=self.fused_attention, channels=channels, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x, t, y=None, cond_mask=None):
@@ -61,11 +68,11 @@ class ConditionalUNet(nn.Module):
         x = x.astype(dt)
         x1 = DoubleConv(w(64), dtype=dt)(x)
         x2 = Down(w(64), w(128), dtype=dt)(x1, t_emb)
-        x2 = SpatialSelfAttention(fused=self.fused_attention, channels=w(128), dtype=dt)(x2)
+        x2 = self._sa(w(128))(x2)
         x3 = Down(w(128), w(256), dtype=dt)(x2, t_emb)
-        x3 = SpatialSelfAttention(fused=self.fused_attention, channels=w(256), dtype=dt)(x3)
+        x3 = self._sa(w(256))(x3)
         x4 = Down(w(256), w(256), dtype=dt)(x3, t_emb)
-        x4 = SpatialSelfAttention(fused=self.fused_attention, channels=w(256), dtype=dt)(x4)
+        x4 = self._sa(w(256))(x4)
 
         if self.remove_deep_conv:
             x4 = DoubleConv(w(256), dtype=dt)(x4)
@@ -76,11 +83,11 @@ class ConditionalUNet(nn.Module):
             x4 = DoubleConv(w(256), dtype=dt)(x4)
 
         xu = Up(w(512), w(128), dtype=dt)(x4, x3, t_emb)
-        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(128), dtype=dt)(xu)
+        xu = self._sa(w(128))(xu)
         xu = Up(w(256), w(64), dtype=dt)(xu, x2, t_emb)
-        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(64), dtype=dt)(xu)
+        xu = self._sa(w(64))(xu)
         xu = Up(w(128), w(64), dtype=dt)(xu, x1, t_emb)
-        xu = SpatialSelfAttention(fused=self.fused_attention, channels=w(64), dtype=dt)(xu)
+        xu = self._sa(w(64))(xu)
         return nn.Conv(self.c_out, (1, 1), dtype=dt, name="outc")(xu).astype(jnp.float32)
 
 
