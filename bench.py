@@ -85,7 +85,19 @@ def _bench_ddpm_sampler(num_classes=27):
     imgs = sampler(state.params, jax.random.PRNGKey(1), labels, cfg_scale=cfg.cfg_scale)
     device_sync(imgs)
     dt = time.perf_counter() - t0
-    return num_classes / dt, dt
+
+    # training throughput at the reference per-device batch (train_ddpm.py:31)
+    step = task.make_train_step()
+    timgs = jnp.zeros((10, 256, 256, 1), jnp.float32)
+    tlabs = jnp.zeros((10,), jnp.int32)
+    state, m = step(state, timgs, tlabs)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = step(state, timgs, tlabs)
+    device_sync(m)
+    train_dt = (time.perf_counter() - t0) / 5
+    return num_classes / dt, dt, 10 / train_dt
 
 
 def main():
@@ -107,9 +119,9 @@ def main():
     print(f"bench: mel done ({dev_sps:.0f}/s); ddpm…", file=sys.stderr, flush=True)
 
     try:
-        ddpm_sps, ddpm_chain_s = _bench_ddpm_sampler()
+        ddpm_sps, ddpm_chain_s, train_ips = _bench_ddpm_sampler()
     except Exception:  # keep the headline metric robust
-        ddpm_sps, ddpm_chain_s = None, None
+        ddpm_sps, ddpm_chain_s, train_ips = None, None, None
     print("bench: ddpm done", file=sys.stderr, flush=True)
 
     result = {
@@ -121,6 +133,7 @@ def main():
         "mel_parity_max_err_db": round(max_err_db, 6),
         "ddpm_sampling_samples_per_sec_per_chip": None if ddpm_sps is None else round(ddpm_sps, 3),
         "ddpm_999step_cfg_chain_seconds_batch27": None if ddpm_chain_s is None else round(ddpm_chain_s, 2),
+        "ddpm_train_images_per_sec_per_chip_batch10": None if train_ips is None else round(train_ips, 1),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -74,7 +74,10 @@ class DDPMConfig:
     ema_start: int = 2000
     do_validation: bool = True
     log_every_epoch: int = 10
-    rounds_per_chain: int = 4      # generation rounds batched into one scan
+    rounds_per_chain: int = 1      # generation rounds batched into one scan.
+    # Measured on v5e-8 (1 chip): internal batch 54 (27 classes × CFG 2) is the
+    # throughput sweet spot — the 4096-token d=16 attention scales
+    # super-linearly with batch, so larger chains LOWER samples/sec.
     compute_dtype: str = "bfloat16"  # replaces fp16 autocast + GradScaler
 
 
@@ -137,12 +140,18 @@ class ClassifierConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SpecUNetConfig:
-    """Source-separation trainer (mix → [noise, bird]). Reference helpers.py:1084-1181."""
+    """Source-separation / denoiser trainer. Reference helpers.py:1084-1181.
+
+    mode="separate": mix → 2ch (noise, bird) — the specunet trainer.
+    mode="denoise":  mix → 1ch noise — trains the transformer denoiser used
+    as ``x − net(x)`` preprocessing (the reference's transformer_near ckpt).
+    """
 
     run: RunConfig = RunConfig(run_name="specunet")
     data: DataConfig = DataConfig(batch_size=8)
     epochs: int = 100
     lr: float = 1e-3
+    mode: str = "separate"
     compute_dtype: str = "bfloat16"
 
 

@@ -22,7 +22,8 @@ class SpecUNetTask:
         self.cfg = cfg
         self.mesh = mesh
         dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
-        self.model = TransformerDenoiser(out_channels=2, dtype=dt)
+        self.denoise_mode = getattr(cfg, "mode", "separate") == "denoise"
+        self.model = TransformerDenoiser(out_channels=1 if self.denoise_mode else 2, dtype=dt)
         self.tx = optax.adam(cfg.lr)
 
     def init_state(self, img_size: int = 256, seed: int | None = None) -> TrainState:
@@ -36,7 +37,10 @@ class SpecUNetTask:
 
     def _train_step(self, state: TrainState, mix, noise_spec, bird_spec):
         rng, k_drop = jax.random.split(state.rng)
-        target = jnp.concatenate([noise_spec, bird_spec], axis=-1)
+        if self.denoise_mode:
+            target = noise_spec  # mix → noise component (x − net(x) usage)
+        else:
+            target = jnp.concatenate([noise_spec, bird_spec], axis=-1)
 
         def loss_fn(params):
             pred = self.model.apply({"params": params}, mix, deterministic=False,
