@@ -12,8 +12,6 @@ import argparse
 import dataclasses
 import os
 
-import numpy as np
-
 
 def eval_one(model_name: str, synth: int, args, cfg_base):
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager

@@ -57,7 +57,6 @@ def run(args):
     import jax
 
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
-    from spectrogramgenai_tpu.core.config import SpecUNetConfig, parse_config
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, shard_batch
     from spectrogramgenai_tpu.core.metrics import MetricsLogger
     from spectrogramgenai_tpu.train.specunet_task import SpecUNetTask

@@ -5,7 +5,6 @@ from __future__ import annotations
 import inspect
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

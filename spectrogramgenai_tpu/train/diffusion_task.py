@@ -166,6 +166,13 @@ class DiffusionTask:
         return jax.jit(functools.partial(self._sample), static_argnames=("cfg_scale",))
 
     def sample(self, state: TrainState, key, labels, use_ema: bool = False, cfg_scale: float | None = None):
+        """Generate samples; on a multi-device mesh the label batch is sharded
+        over the data axis so each chip runs an independent slice of the
+        reverse chain (sampling is embarrassingly data-parallel)."""
+        from spectrogramgenai_tpu.core.mesh import DATA_AXIS, batch_sharding
+
         params = state.ema_params if use_ema else state.params
         cfg_scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
+        if self.mesh.shape[DATA_AXIS] > 1 and labels.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
+            labels = jax.device_put(labels, batch_sharding(self.mesh))
         return self.make_sampler()(params, key, labels, cfg_scale=cfg_scale)

@@ -97,3 +97,14 @@ def test_tensor_parallel_mesh_compiles():
     batch = shard_batch(mesh, {"image": images, "label": labels})
     state, m = step(state, batch["image"], batch["label"])
     assert np.isfinite(float(m["train_mse"]))
+
+
+def test_data_parallel_sampling():
+    """Sampling shards the label batch over the data axis (8 virtual devices)."""
+    cfg = tiny_cfg(num_classes=8)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    task = DiffusionTask(cfg, mesh, total_steps=10)
+    state = task.init_state(0)
+    labels = jnp.arange(8)
+    imgs = task.sample(state, jax.random.PRNGKey(0), labels)
+    assert imgs.shape == (8, 16, 16, 1) and imgs.dtype == jnp.uint8
