@@ -19,7 +19,8 @@ import numpy as np
 
 
 def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: list[str],
-        sav_denoise_path: str | None = None, use_ema: bool = False):
+        sav_denoise_path: str | None = None, use_ema: bool = False,
+        sampler: str = "ddpm", num_steps: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +58,8 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
     while remaining > 0:
         k = min(rounds_per_chain, remaining)
         big_labels = jnp.tile(labels, k)
-        imgs = np.asarray(task.sample(state, jax.random.PRNGKey(samp_i), big_labels, use_ema=use_ema))
+        imgs = np.asarray(task.sample(state, jax.random.PRNGKey(samp_i), big_labels,
+                                      use_ema=use_ema, sampler=sampler, num_steps=num_steps))
         n = labels.shape[0]
         for r in range(k):
             block = imgs[r * n : (r + 1) * n]
@@ -121,6 +123,9 @@ def main(argv=None):
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--sav_denoise_path", default=None)
     p.add_argument("--use_ema", type=int, default=0)
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+                   help="ddpm = reference-parity 999-step chain; ddim = fast sampler")
+    p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
     p.add_argument("--train_folder_for_classes", default=None,
                    help="derive class names from this folder's subdirs")
     add_config_args(p, DDPMConfig)
@@ -135,7 +140,7 @@ def main(argv=None):
         class_names = [f"class{i:02d}" for i in range(cfg.num_classes)]
 
     run(cfg, a.img_folder, a.num_samples, a.start_idx, class_names,
-        a.sav_denoise_path, bool(a.use_ema))
+        a.sav_denoise_path, bool(a.use_ema), a.sampler, a.num_steps)
 
 
 if __name__ == "__main__":

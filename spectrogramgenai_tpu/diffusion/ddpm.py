@@ -139,6 +139,62 @@ def ddpm_sample(
     return x
 
 
+def ddim_sample(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    labels: jax.Array,
+    sample_shape: tuple[int, ...],
+    num_steps: int = 50,
+    cfg_scale: float = 3.0,
+    eta: float = 0.0,
+) -> jax.Array:
+    """DDIM sampler (Song et al. 2020): deterministic (η=0) reverse process on
+    a `num_steps`-subsequence of the training schedule.
+
+    A capability BEYOND the reference (which only has the 999-step ancestral
+    chain): ~20× fewer UNet evaluations for comparable sample quality. Same
+    batched-CFG trick as ddpm_sample; one lax.scan, one jit.
+    """
+    n = labels.shape[0]
+    x0 = jax.random.normal(key, (n, *sample_shape), jnp.float32)
+    use_cfg = cfg_scale > 0
+
+    # evenly spaced subsequence T-1 … 0 (inclusive), e.g. 999, …, 0
+    ts = np.linspace(schedule.noise_steps - 1, 0, num_steps + 1).round().astype(np.int32)
+    t_now, t_prev = ts[:-1], ts[1:]
+    ah = jnp.asarray(schedule.alpha_hat)
+
+    def step(carry, idx):
+        x, k = carry
+        i, j = idx  # current / previous timestep
+        k, k_noise = jax.random.split(k)
+        t = jnp.full((n,), i, jnp.float32)
+        if use_cfg:
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.concatenate([t, t], axis=0)
+            yy = jnp.concatenate([labels, labels], axis=0)
+            mask = jnp.concatenate([jnp.ones((n,)), jnp.zeros((n,))], axis=0)
+            eps = apply_fn(params, xx, tt, yy, mask)
+            cond, uncond = eps[:n], eps[n:]
+            eps = uncond + cfg_scale * (cond - uncond)
+        else:
+            eps = apply_fn(params, x, t, labels, jnp.ones((n,)))
+
+        a_t = ah[i]
+        a_prev = ah[j]
+        x0_pred = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev))
+        dir_x = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        noise = jnp.where(sigma > 0, jax.random.normal(k_noise, x.shape), jnp.zeros_like(x))
+        x = jnp.sqrt(a_prev) * x0_pred + dir_x + sigma * noise
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(step, (x0, key), (jnp.asarray(t_now), jnp.asarray(t_prev)))
+    return x
+
+
 def to_uint8(x: jax.Array) -> jax.Array:
     """clamp(-1,1) → [0,255] uint8 (diff_modules.py:440-442)."""
     x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0

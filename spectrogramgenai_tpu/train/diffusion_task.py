@@ -31,6 +31,7 @@ from spectrogramgenai_tpu.core.mesh import DATA_AXIS
 from spectrogramgenai_tpu.data.transforms import renorm_m1_1
 from spectrogramgenai_tpu.diffusion.ddpm import (
     DiffusionSchedule,
+    ddim_sample,
     ddpm_sample,
     diffusion_loss,
     linear_schedule,
@@ -145,16 +146,15 @@ class DiffusionTask:
         return jax.jit(self._eval_step)
 
     # -- sampling ----------------------------------------------------------------
-    def _sample(self, params, key: jax.Array, labels: jax.Array, cfg_scale: float):
-        x = ddpm_sample(
-            self._apply_sample,
-            params,
-            self.schedule,
-            key,
-            labels,
-            (self.sample_size, self.sample_size, self.channels),
-            cfg_scale=cfg_scale,
-        )
+    def _sample(self, params, key: jax.Array, labels: jax.Array, cfg_scale: float,
+                sampler: str = "ddpm", num_steps: int = 50):
+        shape = (self.sample_size, self.sample_size, self.channels)
+        if sampler == "ddim":
+            x = ddim_sample(self._apply_sample, params, self.schedule, key, labels, shape,
+                            num_steps=num_steps, cfg_scale=cfg_scale)
+        else:
+            x = ddpm_sample(self._apply_sample, params, self.schedule, key, labels, shape,
+                            cfg_scale=cfg_scale)
         if self.vqvae is not None:
             # clamp → quantize → decode → uint8 (diff_modules.py:702-707)
             x = jnp.clip(x, -1.0, 1.0)
@@ -163,9 +163,11 @@ class DiffusionTask:
         return to_uint8(x)
 
     def make_sampler(self):
-        return jax.jit(functools.partial(self._sample), static_argnames=("cfg_scale",))
+        return jax.jit(functools.partial(self._sample),
+                       static_argnames=("cfg_scale", "sampler", "num_steps"))
 
-    def sample(self, state: TrainState, key, labels, use_ema: bool = False, cfg_scale: float | None = None):
+    def sample(self, state: TrainState, key, labels, use_ema: bool = False,
+               cfg_scale: float | None = None, sampler: str = "ddpm", num_steps: int = 50):
         """Generate samples; on a multi-device mesh the label batch is sharded
         over the data axis so each chip runs an independent slice of the
         reverse chain (sampling is embarrassingly data-parallel)."""
@@ -175,4 +177,5 @@ class DiffusionTask:
         cfg_scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
         if self.mesh.shape[DATA_AXIS] > 1 and labels.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
             labels = jax.device_put(labels, batch_sharding(self.mesh))
-        return self.make_sampler()(params, key, labels, cfg_scale=cfg_scale)
+        return self.make_sampler()(params, key, labels, cfg_scale=cfg_scale,
+                                   sampler=sampler, num_steps=num_steps)
