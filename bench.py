@@ -86,6 +86,16 @@ def _bench_ddpm_sampler(num_classes=27):
     device_sync(imgs)
     dt = time.perf_counter() - t0
 
+    # DDIM fast sampler (50 steps) — capability beyond the reference
+    imgs = sampler(state.params, jax.random.PRNGKey(2), labels, cfg_scale=cfg.cfg_scale,
+                   sampler="ddim", num_steps=50)
+    device_sync(imgs)
+    t0 = time.perf_counter()
+    imgs = sampler(state.params, jax.random.PRNGKey(3), labels, cfg_scale=cfg.cfg_scale,
+                   sampler="ddim", num_steps=50)
+    device_sync(imgs)
+    ddim_sps = num_classes / (time.perf_counter() - t0)
+
     # training throughput at the reference per-device batch (train_ddpm.py:31)
     step = task.make_train_step()
     timgs = jnp.zeros((10, 256, 256, 1), jnp.float32)
@@ -97,7 +107,7 @@ def _bench_ddpm_sampler(num_classes=27):
         state, m = step(state, timgs, tlabs)
     device_sync(m)
     train_dt = (time.perf_counter() - t0) / 5
-    return num_classes / dt, dt, 10 / train_dt
+    return num_classes / dt, dt, 10 / train_dt, ddim_sps
 
 
 def main():
@@ -119,9 +129,9 @@ def main():
     print(f"bench: mel done ({dev_sps:.0f}/s); ddpm…", file=sys.stderr, flush=True)
 
     try:
-        ddpm_sps, ddpm_chain_s, train_ips = _bench_ddpm_sampler()
+        ddpm_sps, ddpm_chain_s, train_ips, ddim_sps = _bench_ddpm_sampler()
     except Exception:  # keep the headline metric robust
-        ddpm_sps, ddpm_chain_s, train_ips = None, None, None
+        ddpm_sps, ddpm_chain_s, train_ips, ddim_sps = None, None, None, None
     print("bench: ddpm done", file=sys.stderr, flush=True)
 
     result = {
@@ -134,6 +144,7 @@ def main():
         "ddpm_sampling_samples_per_sec_per_chip": None if ddpm_sps is None else round(ddpm_sps, 3),
         "ddpm_999step_cfg_chain_seconds_batch27": None if ddpm_chain_s is None else round(ddpm_chain_s, 2),
         "ddpm_train_images_per_sec_per_chip_batch10": None if train_ips is None else round(train_ips, 1),
+        "ddim50_sampling_samples_per_sec_per_chip": None if ddim_sps is None else round(ddim_sps, 2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
