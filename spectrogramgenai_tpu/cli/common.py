@@ -25,6 +25,10 @@ def setup(run_cfg, debug_nans: bool = False):
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from spectrogramgenai_tpu.core.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     from spectrogramgenai_tpu.utils.misc import set_seed
 
     return set_seed(run_cfg.seed)

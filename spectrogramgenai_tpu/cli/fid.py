@@ -42,6 +42,51 @@ def compute_features(images_u8: np.ndarray, params=None, batch: int = 32) -> np.
     return np.concatenate(feats)
 
 
+def classifier_features(images_u8: np.ndarray, args, batch: int = 32) -> np.ndarray:
+    """Logit-space features from a trained project classifier."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.config import ClassifierConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.data.transforms import renorm_m1_1
+    from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
+
+    cfg = ClassifierConfig(model_name=args.classifier_model, num_classes=args.num_classes)
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=256)
+    restored = CheckpointManager(args.classifier_ckpt).restore(state, best=True)
+    if restored is None:
+        restored = CheckpointManager(args.classifier_ckpt).restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no classifier checkpoint under {args.classifier_ckpt}")
+    state = restored
+    eval_step = task.make_eval_step()
+
+    feats = []
+    dummy = jnp.zeros((batch,), jnp.int32)
+    for i in range(0, len(images_u8), batch):
+        chunk = images_u8[i : i + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        # grayscale 256×256 input for the project classifiers
+        from PIL import Image
+
+        gray = np.stack([
+            np.asarray(Image.fromarray(c).convert("L").resize((256, 256)), np.float32) / 255.0
+            for c in chunk
+        ])[..., None]
+        logits, _ = eval_step(state, jnp.asarray(gray), dummy)
+        out = np.asarray(logits)
+        feats.append(out[: batch - pad] if pad else out)
+    return np.concatenate(feats)
+
+
 def main(argv=None):
     from spectrogramgenai_tpu.cli.inception_score import load_images
     from spectrogramgenai_tpu.eval.inception import (
@@ -54,13 +99,28 @@ def main(argv=None):
     p.add_argument("--dir1", required=True)
     p.add_argument("--dir2", required=True)
     p.add_argument("--weights", default=None)
+    p.add_argument("--classifier_ckpt", default=None,
+                   help="use a trained project classifier (cli.train_classifiers best ckpt) "
+                        "as the feature extractor — domain-relevant FID without ImageNet weights")
+    p.add_argument("--classifier_model", default="custom")
+    p.add_argument("--num_classes", type=int, default=27)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--allow_random_weights", type=int, default=0)
     a = p.parse_args(argv)
 
+    if a.classifier_ckpt:
+        f1 = classifier_features(load_images(a.dir1, a.limit), a)
+        f2 = classifier_features(load_images(a.dir2, a.limit), a)
+        mu1, s1 = gaussian_statistics(f1)
+        mu2, s2 = gaussian_statistics(f2)
+        print(f"FID (classifier '{a.classifier_model}' logits space): "
+              f"{frechet_distance(mu1, s1, mu2, s2):.4f}  (n1={len(f1)}, n2={len(f2)})")
+        return
+
     params = load_inception_params(a.weights)
     if params is None and not a.allow_random_weights:
-        sys.exit("no converted InceptionV3 weights; pass --weights (tools/convert_torchvision.py) "
+        sys.exit("no converted InceptionV3 weights; pass --weights (tools/convert_torchvision.py), "
+                 "--classifier_ckpt for a domain classifier feature space, "
                  "or --allow_random_weights 1 for a smoke run")
     if params is None:
         print("WARNING: random InceptionV3 weights — FID is NOT meaningful")

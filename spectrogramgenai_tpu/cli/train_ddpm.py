@@ -16,22 +16,25 @@ import numpy as np
 
 
 def load_vq_variables(ckpt_dir: str, cfg):
-    import jax.numpy as jnp
+    """Restore a trained VQ-VAE (full TrainState checkpoint) → variables dict."""
+    import dataclasses
 
-    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
-    from spectrogramgenai_tpu.models.vqvae import VQVAE
     import jax
 
-    vq = VQVAE(hidden_dim=cfg.vq_hidden_dim, latent_dim=cfg.latent_dim,
-               n_embeddings=cfg.vq_n_embeddings)
-    template = vq.init({"params": jax.random.PRNGKey(0)},
-                       jnp.zeros((1, cfg.img_size, cfg.img_size, 1)))
-    mgr = CheckpointManager(ckpt_dir)
-    restored = mgr.restore({"params": template["params"],
-                            "stats": {"codebook": template["codebook"]}, "step": 0})
+    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.config import VQVAEConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
+
+    vq_cfg = VQVAEConfig(hidden_dim=cfg.vq_hidden_dim, latent_dim=cfg.latent_dim,
+                         n_embeddings=cfg.vq_n_embeddings)
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = VQVAETask(vq_cfg, mesh)
+    template = task.init_state(img_size=cfg.img_size)
+    restored = CheckpointManager(ckpt_dir).restore(template)
     if restored is None:
         raise FileNotFoundError(f"no VQ-VAE checkpoint under {ckpt_dir}")
-    return {"params": restored["params"], **restored["stats"]}
+    return task.variables(restored)
 
 
 def run(cfg):
@@ -65,7 +68,11 @@ def run(cfg):
     logger = MetricsLogger(run_dir, use_wandb=cfg.run.use_wandb)
     ckpt = CheckpointManager(os.path.join("models", cfg.run.run_name))
 
-    restored = ckpt.restore(state)
+    try:
+        restored = ckpt.restore(state)
+    except Exception as e:  # incompatible/old checkpoint format
+        print(f"warning: could not restore checkpoint ({type(e).__name__}); starting fresh")
+        restored = None
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")

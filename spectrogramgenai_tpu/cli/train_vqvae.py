@@ -33,6 +33,14 @@ def run(cfg):
     run_dir = os.path.join(cfg.run.output_dir, cfg.run.run_name)
     logger = MetricsLogger(run_dir, use_wandb=cfg.run.use_wandb)
     ckpt = CheckpointManager(os.path.join("models", cfg.run.run_name))
+    try:
+        restored = ckpt.restore(state)
+    except Exception as e:  # incompatible/old checkpoint format
+        print(f"warning: could not restore checkpoint ({type(e).__name__}); starting fresh")
+        restored = None
+    if restored is not None:
+        state = restored
+        print(f"resumed VQ-VAE from step {int(np.asarray(state.step))}")
 
     train_src = ImageFolderSource(
         os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
@@ -62,7 +70,7 @@ def run(cfg):
             print(f"epoch {epoch}: {mean}")
             if last_batch is not None:
                 _plot_reconstructions(task, state, np.asarray(last_batch["image"][:8]), run_dir, epoch)
-    ckpt.save(step_i, {"params": state.params, "stats": state.stats, "step": int(step_i)})
+    ckpt.save(step_i, state)
     print(f"saved VQ-VAE to models/{cfg.run.run_name}")
     return state
 

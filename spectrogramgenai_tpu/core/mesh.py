@@ -35,6 +35,24 @@ class MeshSpec:
         return data, model
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up over DCN (SURVEY.md §2.5 rebuild table).
+
+    When the standard cluster env vars are present (JAX_COORDINATOR_ADDRESS /
+    JAX standard envs), call jax.distributed.initialize so jax.devices() spans
+    all hosts; single-host runs are untouched. Returns True if initialized.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        import jax
+
+        if jax.process_count() == 1:  # not yet initialized
+            jax.distributed.initialize()
+        return True
+    return False
+
+
 def create_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
     """Build a (data, model) mesh over the available devices.
 
