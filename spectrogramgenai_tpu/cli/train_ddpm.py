@@ -111,7 +111,8 @@ def _log_images(task, state, run_dir: str, epoch: int):
     from spectrogramgenai_tpu.audio.export import save_generated_png
 
     labels = jnp.arange(task.cfg.num_classes, dtype=jnp.int32)
-    imgs = np.asarray(task.sample(state, jax.random.PRNGKey(epoch), labels))
+    imgs = np.asarray(task.sample(state, jax.random.PRNGKey(epoch), labels,
+                                  sampler=task.cfg.preview_sampler))
     out = os.path.join(run_dir, f"samples_epoch_{epoch:04d}")
     for i, img in enumerate(imgs):
         save_generated_png(img, os.path.join(out, f"class_{i:02d}.png"))

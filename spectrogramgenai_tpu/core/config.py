@@ -74,6 +74,8 @@ class DDPMConfig:
     ema_start: int = 2000
     do_validation: bool = True
     log_every_epoch: int = 10
+    preview_sampler: str = "ddim"  # mid-training sample grids use the fast
+    # sampler (50 steps); final generation defaults to the parity DDPM chain.
     rounds_per_chain: int = 1      # generation rounds batched into one scan.
     # Measured on v5e-8 (1 chip): internal batch 54 (27 classes × CFG 2) is the
     # throughput sweet spot — the 4096-token d=16 attention scales

@@ -73,7 +73,8 @@ def embeddings_for_dir(audio_dir: str, mode: str = "mel", target_sr: int = FAD_S
 
 
 def fad_score(background: np.ndarray, evaluation: np.ndarray) -> float:
-    """Fréchet distance between embedding distributions."""
+    """Fréchet distance between embedding distributions (clamped ≥ 0:
+    sqrtm numerics can produce tiny negatives for near-identical sets)."""
     mu_b, s_b = gaussian_statistics(background)
     mu_e, s_e = gaussian_statistics(evaluation)
-    return frechet_distance(mu_b, s_b, mu_e, s_e)
+    return max(0.0, frechet_distance(mu_b, s_b, mu_e, s_e))

@@ -76,3 +76,26 @@ def test_mesh_shapes():
     assert local_batch_size(16, mesh) == 4
     mesh1 = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
     assert mesh1.shape["data"] == 1
+
+
+def test_trainstate_checkpoint_roundtrip(tmp_path):
+    """Full TrainState (params + optimizer + EMA + rng) restores exactly."""
+    import optax
+
+    from spectrogramgenai_tpu.train.state import new_train_state
+
+    tx = optax.adam(1e-3)
+    params = {"dense": {"kernel": jnp.arange(6.0).reshape(2, 3), "bias": jnp.zeros(3)}}
+    state = new_train_state(params, tx, jax.random.PRNGKey(3),
+                            ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    state = state.replace(step=jnp.asarray(42))
+
+    mgr = CheckpointManager(str(tmp_path / "ts"))
+    mgr.save(42, state)
+    template = new_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, params), tx, jax.random.PRNGKey(0),
+        ema_params=jax.tree_util.tree_map(jnp.zeros_like, params))
+    restored = mgr.restore(template)
+    assert int(restored.step) == 42
+    np.testing.assert_allclose(restored.params["dense"]["kernel"], np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(restored.rng), np.asarray(jax.random.PRNGKey(3)))

@@ -49,3 +49,22 @@ def test_missing_file_zero_row(wav_files, tmp_path):
     out, rates = load_wav_batch([paths[0], str(tmp_path / "nope.wav")], [0, 0], [10, 10], 6.0, clip_n)
     assert rates[0] == sr and rates[1] == 0
     assert np.abs(out[1]).max() == 0
+
+
+def test_stereo_and_float_wavs(tmp_path):
+    """Stereo mixdown and IEEE-float WAVs through the native decoder."""
+    sr = 8000
+    t = np.arange(sr * 8) / sr
+    left = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    right = np.sin(2 * np.pi * 880 * t).astype(np.float32)
+    stereo = np.stack([left, right], axis=1)
+    p1 = str(tmp_path / "stereo.wav")
+    wavfile.write(p1, sr, (stereo * 32767).astype(np.int16))
+    p2 = str(tmp_path / "float.wav")
+    wavfile.write(p2, sr, left)  # float32 WAV
+
+    clip_n = 6 * sr
+    out, rates = load_wav_batch([p1, p2], [0, 0], [8, 8], 6.0, clip_n)
+    assert (rates == sr).all()
+    np.testing.assert_allclose(out[0], (left + right)[:clip_n] / 2, atol=1e-3)
+    np.testing.assert_allclose(out[1], left[:clip_n], atol=1e-6)
