@@ -23,7 +23,8 @@ import pandas as pd
 
 
 def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
-        skip_existing: bool = True, save_npy: bool = False, limit: int | None = None):
+        skip_existing: bool = True, save_npy: bool = False, limit: int | None = None,
+        exact: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +55,10 @@ def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
             return
         cfg = SpectrogramConfig(sample_rate=sr)
         clips = np.stack([c for _, c in rows])
-        fn = fused_logmel if on_tpu else logmel_spectrogram
-        specs = np.asarray(fn(jnp.asarray(clips), cfg))
+        if on_tpu:
+            specs = np.asarray(fused_logmel(jnp.asarray(clips), cfg, exact=exact))
+        else:
+            specs = np.asarray(logmel_spectrogram(jnp.asarray(clips), cfg))
         for (row, _), spec in zip(rows, specs):
             name = spec_png_name(row["file_name"], row["begin_time"])
             save_spectrogram_png(spec, os.path.join(out_dir, name))
@@ -108,8 +111,12 @@ def main(argv=None):
     p.add_argument("--skip_existing", type=int, default=1)
     p.add_argument("--save_npy", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--exact", type=int, default=1,
+                   help="1 = bit-parity mel math (default); 0 = ~3x faster bf16 MXU passes "
+                        "(<~3 dB error at the quietest bins)")
     a = p.parse_args(argv)
-    run(a.manifest, a.wav_dir, a.out_dir, a.batch_size, bool(a.skip_existing), bool(a.save_npy), a.limit)
+    run(a.manifest, a.wav_dir, a.out_dir, a.batch_size, bool(a.skip_existing), bool(a.save_npy), a.limit,
+        exact=bool(a.exact))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,8 @@ def _kernel_constants(cfg: SpectrogramConfig, freq_block: int):
     return wc, ws, fb_t
 
 
-def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, span, hop, t_pad, tail):
+def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, span, hop, t_pad, tail,
+                precision):
     """One (batch, freq_block) grid step.
 
     rows_hbm:  (1, n_rows, hop) in ANY/HBM — whole clip's hop-rows.
@@ -82,24 +83,25 @@ def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, s
     freq_block = wc_ref.shape[1]
     re = jnp.zeros((t_pad, freq_block), jnp.float32)
     im = jnp.zeros((t_pad, freq_block), jnp.float32)
-    # HIGHEST precision: the DFT sums cancel heavily at quiet bins, so the
-    # default bf16 MXU passes leave dB-scale errors after the log. fp32-exact
-    # passes cost ~3× the matmul FLOPs but the kernel stays compute-cheap.
+    # exact mode → HIGHEST precision: the DFT sums cancel heavily at quiet
+    # bins, so default bf16 MXU passes leave dB-scale errors after the log.
+    # fast mode (precision=DEFAULT) is ~3× faster with ≤~3 dB error at the
+    # quietest (≤−50 dB) bins — fine for augmentation-scale preprocessing.
     for q in range(span):
         width = hop if q < span - 1 else tail
         r_q = rows_vmem[pl.ds(q, t_pad), :width]
         re = re + jnp.dot(
             r_q, wc_ref[pl.ds(q * hop, width), :],
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         im = im + jnp.dot(
             r_q, ws_ref[pl.ds(q * hop, width), :],
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
     power = re * re + im * im  # (t_pad, FB)
     partial = jnp.dot(
-        power, fbt_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        power, fbt_ref[:, :], preferred_element_type=jnp.float32, precision=precision
     )
 
     @pl.when(f == 0)
@@ -111,8 +113,9 @@ def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, s
         out_ref[0, :, :] = out_ref[0, :, :] + partial
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "freq_block", "interpret"))
-def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 256, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cfg", "freq_block", "interpret", "exact"))
+def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 256, interpret: bool = False,
+                    exact: bool = True):
     """(B, N) audio → (B, T, n_mels) mel power spectrogram via the fused kernel.
 
     T = cfg.frames_for(N) real frames (un-padded view of the padded kernel
@@ -137,8 +140,9 @@ def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 
     m_pad = fb_t.shape[1]
     n_fblocks = f_pad // freq_block
 
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     out = pl.pallas_call(
-        functools.partial(_mel_kernel, span=span, hop=hop, t_pad=t_pad, tail=tail),
+        functools.partial(_mel_kernel, span=span, hop=hop, t_pad=t_pad, tail=tail, precision=precision),
         grid=(b, n_fblocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -163,14 +167,15 @@ def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 
     return out[:, :t_real, : cfg.n_mels]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "freq_block", "interpret"))
-def fused_logmel(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 256, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cfg", "freq_block", "interpret", "exact"))
+def fused_logmel(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 256, interpret: bool = False,
+                 exact: bool = True):
     """Full reference-parity pipeline on TPU: (B, N) → (B, n_mels, num_frames) dB.
 
     Kernel produces mel power; the per-sample ``ref=max`` dB conversion and the
     trailing time crop (reference helpers.py:92 order) run in fused XLA ops.
     """
-    mel = fused_mel_power(audio, cfg, freq_block=freq_block, interpret=interpret)  # (B, T, M)
+    mel = fused_mel_power(audio, cfg, freq_block=freq_block, interpret=interpret, exact=exact)  # (B, T, M)
     mel = jnp.swapaxes(mel, 1, 2)  # (B, M, T)
     db = power_to_db(mel, amin=cfg.amin, top_db=cfg.top_db)
     return db[..., : cfg.num_frames]
