@@ -112,8 +112,8 @@ def main(argv=None):
     p.add_argument("--save_npy", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--exact", type=int, default=1,
-                   help="1 = bit-parity mel math (default); 0 = ~3x faster bf16 MXU passes "
-                        "(<~3 dB error at the quietest bins)")
+                   help="1 = bit-parity mel math (default); 0 = ~1.7x faster bf16 MXU passes "
+                        "(<~2.5 dB error at the quietest bins)")
     a = p.parse_args(argv)
     run(a.manifest, a.wav_dir, a.out_dir, a.batch_size, bool(a.skip_existing), bool(a.save_npy), a.limit,
         exact=bool(a.exact))

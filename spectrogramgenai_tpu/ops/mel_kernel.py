@@ -85,8 +85,8 @@ def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, s
     im = jnp.zeros((t_pad, freq_block), jnp.float32)
     # exact mode → HIGHEST precision: the DFT sums cancel heavily at quiet
     # bins, so default bf16 MXU passes leave dB-scale errors after the log.
-    # fast mode (precision=DEFAULT) is ~3× faster with ≤~3 dB error at the
-    # quietest (≤−50 dB) bins — fine for augmentation-scale preprocessing.
+    # fast mode (precision=DEFAULT) measures ~1.7× faster with ≤~2.5 dB error
+    # at the quietest (≤−50 dB) bins — fine for augmentation-scale preprocessing.
     for q in range(span):
         width = hop if q < span - 1 else tail
         r_q = rows_vmem[pl.ds(q, t_pad), :width]

@@ -155,3 +155,40 @@ def test_device_prefetch_propagates_errors():
 
     with pytest.raises(Exception):
         list(device_prefetch(bad_iter(), mesh))
+
+
+def test_neal_test_filter(tmp_path):
+    import pandas as pd
+
+    from spectrogramgenai_tpu.data.manifest import neal_test_filter
+
+    img_dir = str(tmp_path / "imgs")
+    os.makedirs(img_dir)
+    # only a.wav's png exists on disk
+    open(os.path.join(img_dir, "a.wav_3_3.png"), "w").close()
+    df = pd.DataFrame({
+        "file_name": ["a.wav", "a.wav", "b.wav", "c.wav", "d.wav"],
+        "start_time": [3.2, 3.9, 1.0, 2.0, 4.0],
+        "end_time": [9, 9, 7, 8, 10],
+        "class_label": ["robin", "robin", "wren", "owl", "robin"],
+        "confidence": [0.95, 0.99, 0.95, 0.5, 0.95],   # c.wav below threshold
+        "labeler": ["dk", "hh", "zz", "dk", "dk"],     # b.wav untrusted labeler
+    })
+    out = neal_test_filter(df, classes=["owl", "robin", "wren"], image_dir=img_dir)
+    # dedup (a.wav,3) → one row; others filtered by labeler/confidence/missing png
+    assert len(out) == 1
+    assert out.iloc[0]["formatted_file"] == "a.wav_3_3.png"
+
+
+def test_redistribute_datasets():
+    import pandas as pd
+
+    from spectrogramgenai_tpu.utils.misc import redistribute_datasets
+
+    test = pd.DataFrame({"common_name": ["a"] * 6 + ["b"] * 2, "x": range(8)})
+    train = pd.DataFrame({"common_name": [], "x": []})
+    val = pd.DataFrame({"common_name": [], "x": []})
+    test2, train2, val2 = redistribute_datasets(test, train, val, min_test=2)
+    assert (test2["common_name"].value_counts() == 2).all()
+    assert len(train2) + len(val2) == 4  # the 4 surplus 'a' rows
+    assert abs(len(train2) - len(val2)) <= 1
