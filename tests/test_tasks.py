@@ -98,3 +98,40 @@ def test_acgan_aind_mode():
     batch = shard_batch(mesh, {"image": images, "label": labels, "a_ind": a_ind})
     state, m = step(state, batch["image"], batch["label"], batch["a_ind"])
     assert np.isfinite(float(m["loss_G"])) and np.isfinite(float(m["loss_D"]))
+
+
+def test_spectral_norm_matches_torch():
+    """flax SpectralNorm ≡ torch spectral_norm (1 power iteration, converged)."""
+    import flax
+    import flax.linen as nn
+    import torch
+
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(12, 7)).astype(np.float32)
+
+    lin = torch.nn.Linear(12, 7, bias=False)
+    with torch.no_grad():
+        lin.weight.copy_(torch.tensor(W.T))
+    sn = torch.nn.utils.spectral_norm(lin, n_power_iterations=1)
+    x = torch.tensor(rng.normal(size=(3, 12)).astype(np.float32))
+    for _ in range(50):
+        with torch.no_grad():
+            y_t = sn(x)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, update):
+            return nn.SpectralNorm(nn.Dense(7, use_bias=False))(x, update_stats=update)
+
+    m = M()
+    xj = jnp.asarray(np.asarray(x))
+    v = m.init(jax.random.PRNGKey(0), xj, True)
+    flat = flax.traverse_util.flatten_dict(v["params"])
+    flat[[k for k in flat if k[-1] == "kernel"][0]] = jnp.asarray(W)
+    params = flax.traverse_util.unflatten_dict(flat)
+    stats = v["batch_stats"]
+    for _ in range(50):
+        y_j, upd = m.apply({"params": params, "batch_stats": stats}, xj, True,
+                           mutable=["batch_stats"])
+        stats = upd["batch_stats"]
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(), atol=1e-5)
