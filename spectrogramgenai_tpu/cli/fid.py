@@ -44,15 +44,12 @@ def compute_features(images_u8: np.ndarray, params=None, batch: int = 32) -> np.
 
 def classifier_features(images_u8: np.ndarray, args, batch: int = 32) -> np.ndarray:
     """Logit-space features from a trained project classifier."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
     from spectrogramgenai_tpu.core.config import ClassifierConfig
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
-    from spectrogramgenai_tpu.data.transforms import renorm_m1_1
     from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
 
     cfg = ClassifierConfig(model_name=args.classifier_model, num_classes=args.num_classes)

@@ -52,7 +52,6 @@ def _manifest_source(cfg, manifest: str, lab_csv: str | None, ai_csv: str | None
 def run(cfg, st_epochs: int = 0, manifest: str | None = None, lab_csv: str | None = None,
         ai_csv: str | None = None, im_path: str = "."):
     import jax
-    import jax.numpy as jnp
 
     from spectrogramgenai_tpu.audio.export import save_generated_png
     from spectrogramgenai_tpu.cli.common import setup

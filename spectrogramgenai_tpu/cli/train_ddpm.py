@@ -17,8 +17,6 @@ import numpy as np
 
 def load_vq_variables(ckpt_dir: str, cfg):
     """Restore a trained VQ-VAE (full TrainState checkpoint) → variables dict."""
-    import dataclasses
-
     import jax
 
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
