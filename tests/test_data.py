@@ -192,3 +192,22 @@ def test_redistribute_datasets():
     assert (test2["common_name"].value_counts() == 2).all()
     assert len(train2) + len(val2) == 4  # the 4 surplus 'a' rows
     assert abs(len(train2) - len(val2)) <= 1
+
+
+def test_mix_batch_specs():
+    from spectrogramgenai_tpu.audio.mix import mix_batch_specs
+    from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
+
+    cfg = SpectrogramConfig(sample_rate=8000, n_fft=512, hop_length=96,
+                            n_mels=64, num_frames=64)
+    rng = np.random.default_rng(0)
+    n = 2**13
+    noise = rng.standard_normal((2, n)).astype(np.float32)
+    bird = rng.standard_normal((2, n)).astype(np.float32)
+    eps = np.array([0.1, 0.25])
+    ns, bs, ms = mix_batch_specs(noise, bird, eps, cfg, use_pallas=False)
+    for s in (ns, bs, ms):
+        assert s.shape == (2, cfg.n_mels, cfg.num_frames)
+        # midpoint normalization: (min+max)/2 maps to 0-ish, extremes to ±1
+        for row in s:
+            assert abs((row.min() + row.max()) / 2) < 1e-3
