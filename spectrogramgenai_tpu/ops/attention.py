@@ -70,7 +70,12 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024,
+            # every (bh, q-block) step is independent → spread over both
+            # v5e megacores
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n * n * d,
             bytes_accessed=4 * bh * n * d * 4,

@@ -156,6 +156,11 @@ def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 
             pltpu.VMEM((n_rows, hop), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # batch steps are independent (per-clip scratch reloads at f==0);
+            # the freq dimension accumulates into the output → sequential.
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * t_pad * cfg.n_fft * f_pad + 2 * b * t_pad * f_pad * m_pad,
             bytes_accessed=4 * (b * n_rows * hop + 2 * cfg.n_fft * f_pad + f_pad * m_pad + b * t_pad * m_pad),
