@@ -99,3 +99,21 @@ def test_frozen_backbone_mask():
     assert any("fc" in t for t in trainable)
     assert any("layer1" in f for f in frozen)
     assert any("stem" in f for f in frozen)
+
+
+def test_ensemble_classifier_smoke():
+    """Ensemble = 4 backbones with channel adapters → concat logits → head."""
+    from spectrogramgenai_tpu.models.classifiers import EnsembleClassifier, trainable_mask
+
+    model = EnsembleClassifier(num_classes=5)
+    x = jnp.zeros((1, 64, 64, 1))
+    v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 5)
+
+    # freeze policy: only the fusion head trains (Classifiers.py freeze_layers)
+    mask = trainable_mask(v["params"], "ensemble")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    trainable = [p for p, val in flat if val]
+    assert trainable and all("classifier" in str(p[0]) for p in trainable)
