@@ -33,6 +33,12 @@ def evaluate(task, state, src, mesh, batch_size: int, num_classes: int):
     return metrics
 
 
+def task_model_file(model_name: str) -> str:
+    """Map short model names to torchvision converter file stems."""
+    return {"resnet": "resnet18", "vgg": "vgg16", "mobilenet": "mobilenet_v2"}.get(
+        model_name, model_name)
+
+
 def load_denoiser_apply(ckpt_dir: str | None):
     """Optional noise-reduction preprocessing: x ← renorm(x − denoise(x))
     (reference nr_path flow, train_acgan.py:31-35, helpers.py:758-761)."""
@@ -88,8 +94,15 @@ def train_one(model_name: str, synth: int, args, cfg_base):
     num_classes = len(train_src.classes)
     cfg = dataclasses.replace(cfg, num_classes=num_classes)
 
+    pretrained = None
+    if getattr(args, "pretrained_dir", None):
+        cand = os.path.join(args.pretrained_dir, f"{task_model_file(model_name)}_imagenet.msgpack")
+        pretrained = cand if os.path.exists(cand) else None
+        if pretrained is None:
+            print(f"note: no converted weights at {cand}; training {model_name} from scratch")
+
     task = ClassifierTask(cfg, mesh, denoiser_apply=load_denoiser_apply(getattr(args, "denoiser_ckpt", None)))
-    state = task.init_state(img_size=cfg.data.img_size)
+    state = task.init_state(img_size=cfg.data.img_size, pretrained_path=pretrained)
     step = task.make_train_step()
 
     tag = f"{model_name}_synth{synth}{'_kd' if cfg.knowledge_dist else ''}"
@@ -181,6 +194,9 @@ def main(argv=None):
     p.add_argument("--denoiser_ckpt", default=None)
     p.add_argument("--embeddings_csv", default=None,
                    help="BirdNET embeddings CSV (file_name, embeddings) → enables KD")
+    p.add_argument("--pretrained_dir", default=None,
+                   help="dir of converted ImageNet weights ({model}_imagenet.msgpack, "
+                        "see tools/convert_torchvision.py)")
     add_config_args(p, ClassifierConfig)
     a = p.parse_args(argv)
     cfg = apply_overrides(ClassifierConfig(), a)

@@ -46,7 +46,8 @@ class ClassifierTask:
         self.denoiser_apply = denoiser_apply
         self.tx = None  # built in init_state (needs params for the mask)
 
-    def init_state(self, img_size: int = 256, seed: int | None = None) -> TrainState:
+    def init_state(self, img_size: int = 256, seed: int | None = None,
+                   pretrained_path: str | None = None) -> TrainState:
         cfg = self.cfg
         seed = cfg.run.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -55,6 +56,9 @@ class ClassifierTask:
         variables = self.model.init({"params": k_init, "dropout": k_drop}, x, train=False)
         params = variables["params"]
 
+        if pretrained_path:
+            params, variables = self._load_pretrained(params, variables, pretrained_path)
+
         mask = trainable_mask(params, cfg.model_name)
         self.tx = optax.chain(
             optax.masked(optax.adam(cfg.lr), mask),
@@ -62,6 +66,43 @@ class ClassifierTask:
         stats = {k: v for k, v in variables.items() if k != "params"}
         state = new_train_state(params, self.tx, k_run, stats=stats)
         return common.shard_state(self.mesh, state)
+
+    def _load_pretrained(self, params, variables, path: str):
+        """Merge converted ImageNet weights (tools/convert_torchvision.py) into
+        the init tree, keeping the freshly-initialized classifier head — the
+        reference's fine-tuning setup (helpers.py:314-345: pretrained backbone,
+        replaced final FC)."""
+        import flax
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            payload = f.read()
+        loaded = serialization.msgpack_restore(payload)
+
+        head_names = {"fc", "classifier", "classifier_6", "fc2"}  # per-model final layers
+        flat_init = flax.traverse_util.flatten_dict(jax.device_get(params))
+        flat_pre = flax.traverse_util.flatten_dict(loaded.get("params", {}))
+        merged = {}
+        n_used = 0
+        for k, v in flat_init.items():
+            pre = flat_pre.get(k)
+            if pre is not None and k[0] not in head_names and pre.shape == v.shape:
+                merged[k] = jnp.asarray(pre)
+                n_used += 1
+            else:
+                merged[k] = v
+        params = flax.traverse_util.unflatten_dict(merged)
+
+        # BatchNorm running stats ride along when present.
+        new_vars = dict(variables)
+        if "batch_stats" in variables and "batch_stats" in loaded:
+            flat_bs = flax.traverse_util.flatten_dict(jax.device_get(variables["batch_stats"]))
+            flat_pre_bs = flax.traverse_util.flatten_dict(loaded["batch_stats"])
+            merged_bs = {k: jnp.asarray(flat_pre_bs[k]) if k in flat_pre_bs and
+                         flat_pre_bs[k].shape == v.shape else v for k, v in flat_bs.items()}
+            new_vars["batch_stats"] = flax.traverse_util.unflatten_dict(merged_bs)
+        print(f"loaded {n_used} pretrained tensors from {path}")
+        return params, new_vars
 
     def _preprocess(self, images):
         x = renorm_m1_1(images)

@@ -117,3 +117,32 @@ def test_ensemble_classifier_smoke():
     flat = jax.tree_util.tree_flatten_with_path(mask)[0]
     trainable = [p for p, val in flat if val]
     assert trainable and all("classifier" in str(p[0]) for p in trainable)
+
+
+def test_pretrained_weight_loading(tmp_path):
+    """Converted ImageNet weights merge into the init tree; head stays fresh."""
+    from flax import serialization
+
+    from spectrogramgenai_tpu.models.classifiers import ResNet18
+
+    # fabricate a "converted" checkpoint: a resnet18 tree with distinctive values
+    donor = ResNet18(num_classes=1000)
+    dv = donor.init(jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)), train=False)
+    marked = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 0.123), dv["params"])
+    payload = serialization.msgpack_serialize(
+        {"params": jax.device_get(marked), "batch_stats": jax.device_get(dv["batch_stats"])})
+    path = str(tmp_path / "resnet18_imagenet.msgpack")
+    open(path, "wb").write(payload)
+
+    cfg = ClassifierConfig(model_name="resnet", num_classes=5,
+                           data=DataConfig(batch_size=8, img_size=32),
+                           run=RunConfig(seed=0), compute_dtype="float32")
+    mesh = create_mesh(MeshSpec(data=8))
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=32, pretrained_path=path)
+
+    # backbone took donor values; 5-class head kept fresh init (shape differs)
+    stem = np.asarray(state.params["stem_conv"]["kernel"])
+    assert np.allclose(stem, 0.123)
+    head = np.asarray(state.params["fc"]["kernel"])
+    assert head.shape[-1] == 5 and not np.allclose(head, 0.123)
