@@ -117,9 +117,21 @@ def _log_images(task, state, run_dir: str, epoch: int):
 
 
 def main(argv=None):
-    from spectrogramgenai_tpu.core.config import DDPMConfig, parse_config
+    import argparse
 
-    run(parse_config(DDPMConfig, argv))
+    from spectrogramgenai_tpu.core.config import DDPMConfig, add_config_args, apply_overrides
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the run (TensorBoard/xprof)")
+    add_config_args(p, DDPMConfig)
+    a = p.parse_args(argv)
+    cfg = apply_overrides(DDPMConfig(), a)
+
+    from spectrogramgenai_tpu.utils.profiling import trace
+
+    with trace(a.profile_dir):
+        run(cfg)
 
 
 if __name__ == "__main__":
