@@ -5,17 +5,52 @@ the fused Pallas kernel on the available accelerator, vs the CPU reference
 pipeline (the same librosa-parity math in NumPy — the reference's own
 compute path, measured in-process).
 
-Secondary keys (same JSON object): DDPM latent sampling throughput
-(samples/sec/chip at 256×256 output, full 999-step CFG chain + VQ decode).
+Secondary keys (same JSON object):
+  * DDPM latent sampling throughput (samples/sec/chip at 256×256, full
+    999-step CFG chain + VQ decode) plus a *measured* torch/CPU reference
+    baseline for the same chain (tools/cpu_baseline_torch.py) and the
+    resulting speedup — the BASELINE ≥20× contract.
+  * FLOPs and MFU (vs v5e bf16 peak) for the sampler chain and train step,
+    from XLA's compiled cost analysis.
+  * Train-step throughput for the other BASELINE workloads: ACGAN,
+    VQ-VAE, classifier.
+
+Any failed section logs its traceback to stderr and lands in the JSON's
+"errors" map — regressions cannot hide behind nulls.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import sys
 import time
+import traceback
 
 import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+
+
+def _flops_of(jitted, *args, **kwargs):
+    """Total FLOPs of the compiled program via XLA cost analysis (None if
+    the backend doesn't expose it)."""
+    try:
+        analysis = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis["flops"])
+    except Exception:
+        return None
+
+
+def _mfu(flops, seconds):
+    if flops is None or not seconds:
+        return None
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    return 100.0 * flops / seconds / V5E_BF16_PEAK_FLOPS
 
 
 def _bench_mel(cfg, batch=256, iters=10):
@@ -58,8 +93,9 @@ def _bench_mel(cfg, batch=256, iters=10):
     return dev_specs_per_sec, cpu_specs_per_sec, max_err_db
 
 
-def _bench_ddpm_sampler(num_classes=27):
-    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8."""
+def _bench_ddpm(num_classes=27):
+    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8,
+    plus train-step throughput and compiled FLOPs/MFU for both."""
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +103,7 @@ def _bench_ddpm_sampler(num_classes=27):
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.models.vqvae import VQVAE
     from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     cfg = DDPMConfig(img_size=256, latent=True, num_classes=num_classes, run=RunConfig(seed=0))
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
@@ -75,34 +112,41 @@ def _bench_ddpm_sampler(num_classes=27):
     task = DiffusionTask(cfg, mesh, total_steps=100, vq_variables=vq_vars)
     state = task.init_state(0)
 
-    from spectrogramgenai_tpu.utils.benchtools import device_sync
-
+    out = {}
     labels = jnp.arange(num_classes, dtype=jnp.int32)
     sampler = task.make_sampler()
+    sample_kw = dict(cfg_scale=cfg.cfg_scale)
     # first call = compile + warmup (the 999-step scan body compiles once)
-    imgs = sampler(state.params, jax.random.PRNGKey(0), labels, cfg_scale=cfg.cfg_scale)
+    imgs = sampler(state.params, jax.random.PRNGKey(0), labels, **sample_kw)
     device_sync(imgs)
     assert imgs.shape == (num_classes, 256, 256, 1) and imgs.dtype == jnp.uint8
 
     t0 = time.perf_counter()
-    imgs = sampler(state.params, jax.random.PRNGKey(1), labels, cfg_scale=cfg.cfg_scale)
+    imgs = sampler(state.params, jax.random.PRNGKey(1), labels, **sample_kw)
     device_sync(imgs)
-    dt = time.perf_counter() - t0
+    chain_s = time.perf_counter() - t0
+    out["ddpm_sampling_samples_per_sec_per_chip"] = num_classes / chain_s
+    out["ddpm_999step_cfg_chain_seconds_batch27"] = chain_s
+
+    chain_flops = _flops_of(sampler, state.params, jax.random.PRNGKey(1), labels, **sample_kw)
+    if chain_flops is not None:
+        out["ddpm_chain_tflops"] = chain_flops / 1e12
+        out["ddpm_sampler_mfu_pct"] = _mfu(chain_flops, chain_s)
 
     # DDIM fast sampler (50 steps) — capability beyond the reference
-    imgs = sampler(state.params, jax.random.PRNGKey(2), labels, cfg_scale=cfg.cfg_scale,
-                   sampler="ddim", num_steps=50)
+    ddim_kw = dict(cfg_scale=cfg.cfg_scale, sampler="ddim", num_steps=50)
+    imgs = sampler(state.params, jax.random.PRNGKey(2), labels, **ddim_kw)
     device_sync(imgs)
     t0 = time.perf_counter()
-    imgs = sampler(state.params, jax.random.PRNGKey(3), labels, cfg_scale=cfg.cfg_scale,
-                   sampler="ddim", num_steps=50)
+    imgs = sampler(state.params, jax.random.PRNGKey(3), labels, **ddim_kw)
     device_sync(imgs)
-    ddim_sps = num_classes / (time.perf_counter() - t0)
+    out["ddim50_sampling_samples_per_sec_per_chip"] = num_classes / (time.perf_counter() - t0)
 
     # training throughput at the reference per-device batch (train_ddpm.py:31)
     step = task.make_train_step()
     timgs = jnp.zeros((10, 256, 256, 1), jnp.float32)
     tlabs = jnp.zeros((10,), jnp.int32)
+    step_flops = _flops_of(jax.jit(task._train_step), state, timgs, tlabs)
     state, m = step(state, timgs, tlabs)
     device_sync(m)
     t0 = time.perf_counter()
@@ -110,7 +154,102 @@ def _bench_ddpm_sampler(num_classes=27):
         state, m = step(state, timgs, tlabs)
     device_sync(m)
     train_dt = (time.perf_counter() - t0) / 5
-    return num_classes / dt, dt, 10 / train_dt, ddim_sps
+    out["ddpm_train_images_per_sec_per_chip_batch10"] = 10 / train_dt
+    if step_flops is not None:
+        out["ddpm_train_step_tflops"] = step_flops / 1e12
+        out["ddpm_train_mfu_pct"] = _mfu(step_flops, train_dt)
+    return out
+
+
+def _bench_cpu_ddpm_baseline():
+    """Measured torch/CPU reference sampling chain (BASELINE ≥20× contract)."""
+    from tools.cpu_baseline_torch import measure_sampling_baseline
+
+    r = measure_sampling_baseline(batch=27)
+    return {
+        "cpu_reference_ddpm_samples_per_sec": r["samples_per_sec"],
+        "cpu_reference_ddpm_chain_seconds_batch27": r["chain_seconds"],
+        "cpu_reference_torch_threads": r["torch_threads"],
+    }
+
+
+def _bench_acgan(batch=16):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import ACGANConfig, RunConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.acgan_task import ACGANTask
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
+
+    cfg = ACGANConfig(run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ACGANTask(cfg, mesh)
+    state = task.init_state(0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
+    labs = jnp.zeros((batch,), jnp.int32)
+    state, m = step(state, imgs, labs)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = step(state, imgs, labs)
+    device_sync(m)
+    dt = (time.perf_counter() - t0) / 5
+    return {"acgan_train_steps_per_sec_batch16": 1.0 / dt,
+            "acgan_train_images_per_sec_per_chip": batch / dt}
+
+
+def _bench_vqvae(batch=16):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import RunConfig, VQVAEConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
+
+    cfg = VQVAEConfig(run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = VQVAETask(cfg, mesh)
+    state = task.init_state(img_size=256, seed=0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
+    state, m = step(state, imgs)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = step(state, imgs)
+    device_sync(m)
+    dt = (time.perf_counter() - t0) / 5
+    return {"vqvae_train_steps_per_sec_batch16": 1.0 / dt,
+            "vqvae_train_images_per_sec_per_chip": batch / dt}
+
+
+def _bench_classifier(batch=16, model_name="custom"):
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import ClassifierConfig, RunConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
+
+    cfg = ClassifierConfig(model_name=model_name, run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=256, seed=0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
+    labs = jnp.zeros((batch,), jnp.int32)
+    state, m = step(state, imgs, labs)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = step(state, imgs, labs)
+    device_sync(m)
+    dt = (time.perf_counter() - t0) / 5
+    return {f"classifier_{model_name}_train_images_per_sec_per_chip": batch / dt}
 
 
 def main():
@@ -124,18 +263,23 @@ def main():
 
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
 
-    import sys
+    errors: dict[str, str] = {}
+
+    def section(name, fn):
+        print(f"bench: {name}…", file=sys.stderr, flush=True)
+        try:
+            r = fn()
+            print(f"bench: {name} done", file=sys.stderr, flush=True)
+            return r
+        except Exception as e:
+            traceback.print_exc()
+            errors[name] = f"{type(e).__name__}: {e}"
+            return {}
 
     cfg = SpectrogramConfig(sample_rate=22050)
     print("bench: mel…", file=sys.stderr, flush=True)
-    dev_sps, cpu_sps, max_err_db = _bench_mel(cfg)
-    print(f"bench: mel done ({dev_sps:.0f}/s); ddpm…", file=sys.stderr, flush=True)
-
-    try:
-        ddpm_sps, ddpm_chain_s, train_ips, ddim_sps = _bench_ddpm_sampler()
-    except Exception:  # keep the headline metric robust
-        ddpm_sps, ddpm_chain_s, train_ips, ddim_sps = None, None, None, None
-    print("bench: ddpm done", file=sys.stderr, flush=True)
+    dev_sps, cpu_sps, max_err_db = _bench_mel(cfg)  # headline — let it raise
+    print(f"bench: mel done ({dev_sps:.0f}/s)", file=sys.stderr, flush=True)
 
     result = {
         "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
@@ -144,12 +288,22 @@ def main():
         "vs_baseline": round(dev_sps / cpu_sps, 1),
         "cpu_reference_specs_per_sec": round(cpu_sps, 2),
         "mel_parity_max_err_db": round(max_err_db, 6),
-        "ddpm_sampling_samples_per_sec_per_chip": None if ddpm_sps is None else round(ddpm_sps, 3),
-        "ddpm_999step_cfg_chain_seconds_batch27": None if ddpm_chain_s is None else round(ddpm_chain_s, 2),
-        "ddpm_train_images_per_sec_per_chip_batch10": None if train_ips is None else round(train_ips, 1),
-        "ddim50_sampling_samples_per_sec_per_chip": None if ddim_sps is None else round(ddim_sps, 2),
-        "backend": jax.default_backend(),
     }
+    result.update(section("ddpm", _bench_ddpm))
+    result.update(section("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline))
+    result.update(section("acgan", _bench_acgan))
+    result.update(section("vqvae", _bench_vqvae))
+    result.update(section("classifier", _bench_classifier))
+
+    tpu_sps = result.get("ddpm_sampling_samples_per_sec_per_chip")
+    cpu_ddpm = result.get("cpu_reference_ddpm_samples_per_sec")
+    if tpu_sps and cpu_ddpm:
+        result["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
+
+    result = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in result.items()}
+    if errors:
+        result["errors"] = errors
+    result["backend"] = jax.default_backend()
     print(json.dumps(result))
 
 

@@ -18,7 +18,9 @@ def main(argv=None):
     p.add_argument("--eval_dir", default=None)
     p.add_argument("--background_emb", default=None, help="precomputed embeddings (CLAP etc.)")
     p.add_argument("--eval_emb", default=None)
-    p.add_argument("--mode", default="mel", choices=["mel"])
+    p.add_argument("--mode", default="mel", choices=["mel", "clap"])
+    p.add_argument("--clap_ckpt", default=None,
+                   help="converted CLAP audio tower (tools/convert_clap.py) for --mode clap")
     p.add_argument("--sample_rate", type=int, default=48000)
     a = p.parse_args(argv)
 
@@ -26,9 +28,10 @@ def main(argv=None):
         bg, ev = load_embeddings(a.background_emb), load_embeddings(a.eval_emb)
         label = "precomputed embeddings"
     elif a.background_dir and a.eval_dir:
-        bg = embeddings_for_dir(a.background_dir, a.mode, a.sample_rate)
-        ev = embeddings_for_dir(a.eval_dir, a.mode, a.sample_rate)
-        label = f"{a.mode} embeddings (relative comparisons only — not CLAP-comparable)"
+        bg = embeddings_for_dir(a.background_dir, a.mode, a.sample_rate, clap_ckpt=a.clap_ckpt)
+        ev = embeddings_for_dir(a.eval_dir, a.mode, a.sample_rate, clap_ckpt=a.clap_ckpt)
+        label = (f"{a.mode} embeddings" if a.mode == "clap"
+                 else f"{a.mode} embeddings (relative comparisons only — not CLAP-comparable)")
     else:
         p.error("need either --background_dir/--eval_dir or --background_emb/--eval_emb")
 

@@ -20,6 +20,8 @@ def load_specdata_manifest(path: str, columns: list[str] | None = None):
     """Load the reference's specdata.npz → (train_df, test_df, class_names)."""
     data = np.load(path, allow_pickle=True)
     cats = [str(c) for c in data["categories"]]
+    if columns is None and "columns" in data:
+        columns = [str(c) for c in data["columns"]]
     if columns is None:
         # train_acgan.py:52 derives columns from the label CSV; fall back to
         # positional columns when that CSV is absent.

@@ -12,9 +12,11 @@ network egress, so the harness is pluggable:
     (mean+std over time of the 256-mel log spectrogram, 512-d). CLEARLY
     FLAGGED: valid for relative/regression comparisons in this framework,
     not comparable to published CLAP-FAD numbers.
-  * ``clap`` mode — used automatically when a converted CLAP audio-tower
-    checkpoint is supplied (tools/convert_clap.py, runs where torch+laion
-    CLAP weights exist).
+  * ``clap`` mode — reference-comparable CLAP-FAD on TPU: the flax HTSAT
+    audio tower (eval/clap.py, golden-tested vs the HF torch CLAP) embeds
+    the clips with weights converted by tools/convert_clap.py. Precomputed
+    CLAP embeddings also work via ``embeddings`` mode (the same artifact
+    pattern the reference uses for BirdNET).
 
 The Fréchet math is shared with FID (eval/inception.py:frechet_distance).
 """
@@ -57,7 +59,8 @@ def load_embeddings(path: str) -> np.ndarray:
     return np.load(path)
 
 
-def embeddings_for_dir(audio_dir: str, mode: str = "mel", target_sr: int = FAD_SAMPLE_RATE) -> np.ndarray:
+def embeddings_for_dir(audio_dir: str, mode: str = "mel", target_sr: int = FAD_SAMPLE_RATE,
+                       clap_ckpt: str | None = None) -> np.ndarray:
     from spectrogramgenai_tpu.audio.wavio import load_wav
 
     wavs = []
@@ -69,7 +72,14 @@ def embeddings_for_dir(audio_dir: str, mode: str = "mel", target_sr: int = FAD_S
         raise FileNotFoundError(f"no wav files in {audio_dir}")
     if mode == "mel":
         return mel_statistics_embeddings(wavs, target_sr)
-    raise ValueError(f"unknown embedding mode {mode!r} (supply precomputed embeddings for CLAP)")
+    if mode == "clap":
+        from spectrogramgenai_tpu.eval.clap import clap_embeddings, load_clap_params
+
+        if not clap_ckpt:
+            raise ValueError("clap mode needs --clap_ckpt (converted via tools/convert_clap.py)")
+        variables = load_clap_params(clap_ckpt)
+        return clap_embeddings(wavs, variables)
+    raise ValueError(f"unknown embedding mode {mode!r}")
 
 
 def fad_score(background: np.ndarray, evaluation: np.ndarray) -> float:

@@ -40,12 +40,17 @@ class BasicConv2d(nn.Module):
         return nn.relu(x)
 
 
-def _avg_pool_same(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False)
+def _avg_pool_same(x, count_include_pad: bool = True):
+    """3×3 stride-1 same avg pool. torchvision's inception uses
+    F.avg_pool2d defaults (count_include_pad=True); pytorch-fid's patched
+    blocks use count_include_pad=False — select via ``fid_pool``."""
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=count_include_pad)
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,7 +62,8 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), dtype=dt, name="branch3x3dbl_1")(x, train)
         b3 = BasicConv2d(96, (3, 3), padding=1, dtype=dt, name="branch3x3dbl_2")(b3, train)
         b3 = BasicConv2d(96, (3, 3), padding=1, dtype=dt, name="branch3x3dbl_3")(b3, train)
-        bp = BasicConv2d(self.pool_features, (1, 1), dtype=dt, name="branch_pool")(_avg_pool_same(x), train)
+        bp = BasicConv2d(self.pool_features, (1, 1), dtype=dt, name="branch_pool")(
+            _avg_pool_same(x, not self.fid_pool), train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -77,6 +83,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,7 +98,8 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)), dtype=dt, name="branch7x7dbl_3")(bd, train)
         bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)), dtype=dt, name="branch7x7dbl_4")(bd, train)
         bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)), dtype=dt, name="branch7x7dbl_5")(bd, train)
-        bp = BasicConv2d(192, (1, 1), dtype=dt, name="branch_pool")(_avg_pool_same(x), train)
+        bp = BasicConv2d(192, (1, 1), dtype=dt, name="branch_pool")(
+            _avg_pool_same(x, not self.fid_pool), train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -112,6 +120,7 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    fid_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,19 +136,29 @@ class InceptionE(nn.Module):
         bda = BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)), dtype=dt, name="branch3x3dbl_3a")(bd, train)
         bdb = BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)), dtype=dt, name="branch3x3dbl_3b")(bd, train)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = BasicConv2d(192, (1, 1), dtype=dt, name="branch_pool")(_avg_pool_same(x), train)
+        bp = BasicConv2d(192, (1, 1), dtype=dt, name="branch_pool")(
+            _avg_pool_same(x, not self.fid_pool), train)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """torchvision inception_v3 (aux head omitted — eval only)."""
+    """torchvision inception_v3 (aux head omitted — eval only).
+
+    ``fid_pool=True`` selects pytorch-fid's patched avg-pool semantics
+    (count_include_pad=False in the A/C/E branch pools); the default matches
+    torchvision / torchmetrics (the reference IS path,
+    inception_score.py:32-47). Golden-tested against a torch forward in
+    tests/test_converters_golden.py.
+    """
 
     num_classes: int = 1000
+    fid_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
         dt = self.dtype
+        fp = self.fid_pool
         x = x.astype(dt)
         x = BasicConv2d(32, (3, 3), strides=2, dtype=dt, name="Conv2d_1a_3x3")(x, train)
         x = BasicConv2d(32, (3, 3), dtype=dt, name="Conv2d_2a_3x3")(x, train)
@@ -148,17 +167,17 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), dtype=dt, name="Conv2d_3b_1x1")(x, train)
         x = BasicConv2d(192, (3, 3), dtype=dt, name="Conv2d_4a_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, dtype=dt, name="Mixed_5b")(x, train)
-        x = InceptionA(64, dtype=dt, name="Mixed_5c")(x, train)
-        x = InceptionA(64, dtype=dt, name="Mixed_5d")(x, train)
+        x = InceptionA(32, fid_pool=fp, dtype=dt, name="Mixed_5b")(x, train)
+        x = InceptionA(64, fid_pool=fp, dtype=dt, name="Mixed_5c")(x, train)
+        x = InceptionA(64, fid_pool=fp, dtype=dt, name="Mixed_5d")(x, train)
         x = InceptionB(dtype=dt, name="Mixed_6a")(x, train)
-        x = InceptionC(128, dtype=dt, name="Mixed_6b")(x, train)
-        x = InceptionC(160, dtype=dt, name="Mixed_6c")(x, train)
-        x = InceptionC(160, dtype=dt, name="Mixed_6d")(x, train)
-        x = InceptionC(192, dtype=dt, name="Mixed_6e")(x, train)
+        x = InceptionC(128, fid_pool=fp, dtype=dt, name="Mixed_6b")(x, train)
+        x = InceptionC(160, fid_pool=fp, dtype=dt, name="Mixed_6c")(x, train)
+        x = InceptionC(160, fid_pool=fp, dtype=dt, name="Mixed_6d")(x, train)
+        x = InceptionC(192, fid_pool=fp, dtype=dt, name="Mixed_6e")(x, train)
         x = InceptionD(dtype=dt, name="Mixed_7a")(x, train)
-        x = InceptionE(dtype=dt, name="Mixed_7b")(x, train)
-        x = InceptionE(dtype=dt, name="Mixed_7c")(x, train)
+        x = InceptionE(fid_pool=fp, dtype=dt, name="Mixed_7b")(x, train)
+        x = InceptionE(fid_pool=fp, dtype=dt, name="Mixed_7c")(x, train)
         feats = jnp.mean(x, axis=(1, 2))  # 2048-d pool features (FID)
         if return_features:
             return feats.astype(jnp.float32)

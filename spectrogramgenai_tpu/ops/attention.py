@@ -1,24 +1,30 @@
-"""Fused self-attention Pallas kernel for the UNet's spatial attention.
+"""Fused self-attention Pallas kernels (forward + custom-VJP backward).
 
 Why: the reference-parity UNet puts self-attention at every resolution,
-including 64×64 → 4096 tokens (diff_modules.py:160-166). XLA materializes
-the (B·H, 4096, 4096) score matrix in HBM — at sampling batch 54 that's
-~7 GB of traffic per block per step (and at batch ≥108 it cannot even be
-allocated), so the reverse chain is memory-bound.
+including 64×64 → 4096 tokens (reference diff_modules.py:160-166). XLA
+materializes the (B·H, 4096, 4096) score matrix in HBM — at sampling batch
+54 that's ~7 GB of traffic per block per step (and at batch ≥108 it cannot
+even be allocated), so both the reverse chain and the train step are
+memory-bound on attention.
 
-This kernel never materializes scores in HBM: K and V for one (batch, head)
+These kernels never materialize scores in HBM: K and V for one (batch, head)
 sit entirely in VMEM, so each grid step computes softmax(q_block·Kᵀ/√d)·V
 with scores living only in VMEM. Exact math (no online-softmax approximation
-needed) — verified against the einsum path in tests.
+needed) — verified against the einsum path in tests, gradients included.
 
-Layout note (the part that matters on TPU): head_dim here is small (16–64).
-A (N, d) block would be lane-padded d→128 by Mosaic, inflating K/V VMEM ~8×
-and overflowing VMEM at N=4096. K and V are therefore passed TRANSPOSED as
-(B, H, d, N) so the long token axis sits in the 128-wide lane dimension;
-q stays (q_block, d) (one small padded block).
+Layout notes (the parts that matter on TPU):
+  * head_dim here is small (16–64). A (N, d) block would be lane-padded
+    d→128 by Mosaic, inflating K/V VMEM ~8×. K and V are therefore passed
+    TRANSPOSED as (BH, d, N) so the long token axis sits in the 128-wide
+    lane dimension; q stays (q_block, d) (one small padded block).
+  * matmuls run in the INPUT dtype (bf16 on the sampling/training path →
+    2× MXU throughput vs the old f32 upcast) with fp32 accumulation;
+    softmax is computed in fp32 always.
 
-Used in the sampling/inference path; training keeps the XLA einsum path
-(differentiable, fine at training batch sizes with remat).
+The backward is flash-attention style: scores/probs are recomputed per
+q-block from the saved Q/K (cheap — they were never written to HBM), dQ is
+written per block, and dK/dV accumulate in a VMEM-resident output block
+over the sequential q-block grid axis.
 """
 
 from __future__ import annotations
@@ -31,37 +37,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)     # (QB, d)
-    k_t = kt_ref[0].astype(jnp.float32)  # (d, N)
-    v_t = vt_ref[0].astype(jnp.float32)  # (d, N)
-    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale  # (QB, N)
+def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
+    q = q_ref[0]           # (QB, d) — input dtype straight to the MXU
+    k_t = kt_ref[0]        # (d, N)
+    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale  # (QB, N) f32
     probs = jax.nn.softmax(scores, axis=-1)
-    # (QB, N) · (d, N)ᵀ contraction over N
+    # (QB, N) · (d, N)ᵀ contraction over N; probs in the value dtype on the MXU
     out = jax.lax.dot_general(
-        probs, v_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        probs.astype(vt_ref.dtype), vt_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256,
-                    interpret: bool = False) -> jax.Array:
-    """softmax(q·kᵀ/√d)·v over (B, H, N, D) tensors (non-causal, no mask).
+def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scale: float):
+    """One (bh, q-block) step of the flash-style backward.
 
-    Matches flax MultiHeadDotProductAttention's core exactly (scale 1/√d,
-    softmax over keys). N must be divisible by q_block.
+    dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P));
+    dQ = scale · dS K;  dK = scale · dSᵀ Q.
+    dK/dV blocks revisit the same output block across the (sequential)
+    q-block axis and accumulate in VMEM.
     """
-    b, h, n, d = q.shape
-    scale = 1.0 / (d**0.5)
-    bh = b * h
-    qf = q.reshape(bh, n, d)
-    kt = k.reshape(bh, n, d).swapaxes(1, 2)  # (BH, d, N): token axis in lanes
-    vt = v.reshape(bh, n, d).swapaxes(1, 2)
-    n_qb = n // q_block
+    j = pl.program_id(1)
 
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+    q = q_ref[0]                        # (QB, d)
+    k_t = kt_ref[0]                     # (d, N)
+    v_t = vt_ref[0]                     # (d, N)
+    do = do_ref[0].astype(jnp.float32)  # (QB, d)
+
+    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)                      # (QB, N) f32
+
+    # dP = dO · V : (QB, d) × (d, N)
+    dp = jnp.dot(do.astype(v_t.dtype), v_t, preferred_element_type=jnp.float32)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))  # (QB, N) f32
+    ds = ds * scale
+
+    dsl = ds.astype(q.dtype)
+    # dQ = dS · K : contract over N → (QB, d)
+    dq = jax.lax.dot_general(dsl, k_t, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0, :, :] = dq.astype(dq_ref.dtype)
+
+    # dKᵀ = Qᵀ dS → (d, N); dVᵀ = Oᵀ-style: Pᵀ dO transposed → (d, N)
+    dkt = jax.lax.dot_general(q, dsl, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dvt = jax.lax.dot_general(do.astype(probs.dtype), probs, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dkt_ref[0, :, :] = dkt.astype(dkt_ref.dtype)
+        dvt_ref[0, :, :] = dvt.astype(dvt_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dkt_ref[0, :, :] += dkt.astype(dkt_ref.dtype)
+        dvt_ref[0, :, :] += dvt.astype(dvt_ref.dtype)
+
+
+def _fwd_call(qf, kt, vt, *, q_block: int, interpret: bool):
+    bh, n, d = qf.shape
+    scale = 1.0 / (d**0.5)
+    n_qb = n // q_block
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, n_qb),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -69,7 +109,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256
             pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), qf.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=14 * 1024 * 1024,
             # every (bh, q-block) step is independent → spread over both
@@ -83,4 +123,84 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256
         ),
         interpret=interpret,
     )(qf, kt, vt)
+
+
+def _bwd_call(qf, kt, vt, do, *, q_block: int, interpret: bool):
+    bh, n, d = qf.shape
+    scale = 1.0 / (d**0.5)
+    # f32 scores+probs+dP per block: keep 3·QB·N·4 well under VMEM.
+    qb = min(q_block, 128) if n >= 2048 else q_block
+    n_qb = n // qb
+    dq, dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(bh, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            # dK/dV: same block for every j → VMEM-resident accumulator
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, d, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, d, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024,
+            # the q-block axis accumulates into dK/dV → sequential
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * d,
+            bytes_accessed=8 * bh * n * d * 4,
+            transcendentals=bh * n * n,
+        ),
+        interpret=interpret,
+    )(qf, kt, vt, do)
+    return dq, dkt, dvt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_flat(qf, kt, vt, q_block: int, interpret: bool):
+    """softmax(q·kᵀ/√d)·v in flat (BH, N, d) / (BH, d, N) layout."""
+    return _fwd_call(qf, kt, vt, q_block=q_block, interpret=interpret)
+
+
+def _attention_flat_fwd(qf, kt, vt, q_block, interpret):
+    out = _fwd_call(qf, kt, vt, q_block=q_block, interpret=interpret)
+    return out, (qf, kt, vt)
+
+
+def _attention_flat_bwd(q_block, interpret, residuals, g):
+    qf, kt, vt = residuals
+    dq, dkt, dvt = _bwd_call(qf, kt, vt, g, q_block=q_block, interpret=interpret)
+    return dq, dkt.astype(kt.dtype), dvt.astype(vt.dtype)
+
+
+_attention_flat.defvjp(_attention_flat_fwd, _attention_flat_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256,
+                    interpret: bool = False) -> jax.Array:
+    """softmax(q·kᵀ/√d)·v over (B, H, N, D) tensors (non-causal, no mask).
+
+    Matches flax MultiHeadDotProductAttention's core exactly (scale 1/√d,
+    softmax over keys in fp32). N must be divisible by q_block.
+    Differentiable: a flash-style custom VJP recomputes scores per q-block
+    instead of saving them, so neither pass touches HBM with an (N, N)
+    tensor — usable on the training path as well as sampling.
+    """
+    b, h, n, d = q.shape
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kt = k.reshape(bh, n, d).swapaxes(1, 2)  # (BH, d, N): token axis in lanes
+    vt = v.reshape(bh, n, d).swapaxes(1, 2)
+    out = _attention_flat(qf, kt, vt, q_block, interpret)
     return out.reshape(b, h, n, d)

@@ -19,7 +19,6 @@ Notable reference quirks preserved deliberately:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -76,6 +75,7 @@ class DiffusionTask:
             self.vqvae = None
             self.vq_variables = None
 
+        on_tpu = jax.default_backend() == "tpu"
         self.model = ConditionalUNet(
             c_in=self.channels,
             c_out=self.channels,
@@ -83,12 +83,16 @@ class DiffusionTask:
             num_classes=cfg.num_classes,
             remove_deep_conv=cfg.remove_deep_conv,
             width_mult=cfg.width_mult,
+            # The Pallas attention kernel is differentiable (flash-style
+            # custom VJP, ops/attention.py) — training uses it too on TPU;
+            # the 1024/4096-token score matrices never touch HBM in either
+            # pass. CPU keeps the einsum path (tested for grad parity).
+            fused_attention=on_tpu,
             dtype=dt,
         )
-        # Same params, Pallas attention core — used for the sampling chain
-        # where the 4096-token attention blocks are HBM-bound.
-        self.sample_model = self.model.clone(fused_attention=jax.default_backend() == "tpu")
+        self.sample_model = self.model.clone(fused_attention=on_tpu)
         self.tx = common.make_adamw_onecycle(cfg.lr, total_steps, eps=cfg.adam_eps)
+        self._jit_sampler = None
 
     # -- state -----------------------------------------------------------------
     def init_state(self, seed: int | None = None) -> TrainState:
@@ -163,8 +167,14 @@ class DiffusionTask:
         return to_uint8(x)
 
     def make_sampler(self):
-        return jax.jit(functools.partial(self._sample),
-                       static_argnames=("cfg_scale", "sampler", "num_steps"))
+        """One jitted sampler per task — cached so repeated sample() calls
+        (e.g. the generate CLI's rounds-per-chain loop) reuse the same trace
+        instead of re-tracing the 999-step scan every round."""
+        if self._jit_sampler is None:
+            self._jit_sampler = jax.jit(
+                self._sample, static_argnames=("cfg_scale", "sampler", "num_steps")
+            )
+        return self._jit_sampler
 
     def sample(self, state: TrainState, key, labels, use_ema: bool = False,
                cfg_scale: float | None = None, sampler: str = "ddpm", num_steps: int = 50):

@@ -52,3 +52,25 @@ def test_sa_module_paths_equivalent():
         sa_fused = SpatialSelfAttention(channels=64, fused=True)
         out = sa_fused.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_grads_match_einsum():
+    """Custom-VJP (flash-style recompute backward) vs autodiff-through-einsum,
+    including dK/dV accumulation across multiple q-blocks."""
+    rng = np.random.default_rng(2)
+    b, h, n, d = 1, 2, 512, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, q_block=128, interpret=INTERPRET) * w)
+
+    def loss_einsum(q, k, v):
+        return jnp.sum(einsum_attention(q, k, v) * w)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4, err_msg=f"d{name}")

@@ -99,3 +99,20 @@ def test_trainstate_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 42
     np.testing.assert_allclose(restored.params["dense"]["kernel"], np.arange(6.0).reshape(2, 3))
     np.testing.assert_allclose(np.asarray(restored.rng), np.asarray(jax.random.PRNGKey(3)))
+
+
+def test_maybe_initialize_distributed(monkeypatch):
+    """Both branches of the multi-host bring-up helper (core/mesh.py):
+    no coordinator env → untouched; env present → jax.distributed.initialize
+    is invoked exactly once when this process is not yet part of a cluster."""
+    from spectrogramgenai_tpu.core import mesh as mesh_mod
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert mesh_mod.maybe_initialize_distributed() is False
+
+    calls = []
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:12345")
+    monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+    assert mesh_mod.maybe_initialize_distributed() is True
+    assert calls == [1], "expected exactly one jax.distributed.initialize call"

@@ -75,3 +75,59 @@ def test_split_distribution_and_heatmap(tmp_path):
     hm = tmp_path / "hm.png"
     recording_effort_heatmap(df, str(hm))
     assert hm.exists()
+
+
+def test_paper_plots_from_synthetic_manifest(tmp_path):
+    """paper_plots.py end-to-end from a synthetic specdata.npz manifest:
+    color-bar LaTeX (R paper_plots.R cell format), counts CSV, dodge plot."""
+    import subprocess
+
+    rng = np.random.default_rng(1)
+    classes = np.asarray(["robin", "wren", "owl"], dtype=object)
+    cols = ["file_name", "begin_time", "common_name"]
+
+    def make_rows(n):
+        return np.asarray(
+            [[f"f{i}.wav", float(i), classes[rng.integers(0, 3)]] for i in range(n)],
+            dtype=object,
+        )
+
+    manifest = tmp_path / "specdata.npz"
+    np.savez(manifest, train_df=make_rows(40), test_df=make_rows(12),
+             categories=classes, columns=np.asarray(cols, dtype=object))
+
+    out_dir = tmp_path / "paper"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "postprocessing", "paper_plots.py"),
+         "--manifest", str(manifest), "--out_dir", str(out_dir)],
+        check=True, cwd=repo, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    tex = (out_dir / "split_distribution.tex").read_text()
+    assert "\\rule{" in tex and "seabornBlue" in tex and "robin" in tex
+    assert (out_dir / "split_counts.csv").exists()
+    assert (out_dir / "split_proportions.png").exists()
+
+
+def test_data_time_plot_from_synthetic_csv(tmp_path):
+    """data_time_plot.py: confidence histogram + per-recorder date×hour
+    heatmaps from a synthetic detections CSV (R data_time_plot.R schema)."""
+    from data_time_plot import confidence_histogram, effort_counts, recording_effort_heatmaps
+
+    rng = np.random.default_rng(2)
+    times = pd.to_datetime(rng.integers(1688169600, 1690848000, 200), unit="s")
+    df = pd.DataFrame({
+        "datetime": times.strftime("%Y-%m-%dT%H:%M:%S"),
+        "recorder": rng.choice(["RICHFIELDM1", "CARNSOREMET"], size=200),
+        "confidence": rng.uniform(0, 1, 200),
+    })
+
+    confidence_histogram(df, str(tmp_path / "conf.png"))
+    assert (tmp_path / "conf.png").exists()
+
+    counts = effort_counts(df)
+    assert set(counts["recorder"]) == {"Richfield", "Carnsore"}  # renamed
+    assert counts["count"].sum() == 200
+
+    paths = recording_effort_heatmaps(df, str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)

@@ -72,8 +72,13 @@ def convert_vgg16(sd):
             "kernel": t_conv(sd[f"features.{idx}.weight"]),
             "bias": np.asarray(sd[f"features.{idx}.bias"]),
         }
-    for dst, src in (("classifier_0", "classifier.0"), ("classifier_3", "classifier.3"),
-                     ("classifier_6", "classifier.6")):
+    # classifier.0 consumes the flattened 7×7×512 pool output: torch flattens
+    # NCHW (C,7,7) but the flax model reshapes NHWC (7,7,C) — permute the
+    # input axis of the first linear layer accordingly.
+    w0 = np.asarray(sd["classifier.0.weight"])  # (4096, 512·7·7) in (C,H,W) order
+    w0 = w0.reshape(-1, 512, 7, 7).transpose(0, 2, 3, 1).reshape(-1, 7 * 7 * 512)
+    params["classifier_0"] = {"kernel": w0.T, "bias": np.asarray(sd["classifier.0.bias"])}
+    for dst, src in (("classifier_3", "classifier.3"), ("classifier_6", "classifier.6")):
         params[dst] = {"kernel": t_linear(sd[f"{src}.weight"]), "bias": np.asarray(sd[f"{src}.bias"])}
     return {"params": params, "batch_stats": {}}
 
