@@ -128,8 +128,18 @@ def _bench_ddpm(num_classes=27):
     out["ddpm_sampling_samples_per_sec_per_chip"] = num_classes / chain_s
     out["ddpm_999step_cfg_chain_seconds_batch27"] = chain_s
 
-    chain_flops = _flops_of(sampler, state.params, jax.random.PRNGKey(1), labels, **sample_kw)
-    if chain_flops is not None:
+    # XLA cost analysis counts a lax.scan body ONCE, so the jitted-chain
+    # number is ~1 step's FLOPs. Count one batched-CFG UNet forward and
+    # scale by the 999 scan steps for an honest chain total.
+    fwd = jax.jit(task._apply_sample)
+    n2 = 2 * num_classes
+    fwd_args = (state.params, jnp.zeros((n2, 64, 64, cfg.latent_dim)),
+                jnp.ones((n2,)), jnp.concatenate([labels, labels]),
+                jnp.ones((n2,)))
+    fwd_flops = _flops_of(fwd, *fwd_args)
+    if fwd_flops is not None:
+        chain_flops = fwd_flops * (cfg.noise_steps - 1)
+        out["ddpm_unet_cfg_fwd_gflops_batch54"] = fwd_flops / 1e9
         out["ddpm_chain_tflops"] = chain_flops / 1e12
         out["ddpm_sampler_mfu_pct"] = _mfu(chain_flops, chain_s)
 
@@ -269,7 +279,8 @@ def main():
         print(f"bench: {name}…", file=sys.stderr, flush=True)
         try:
             r = fn()
-            print(f"bench: {name} done", file=sys.stderr, flush=True)
+            # partial results survive an external timeout of the whole run
+            print(f"bench: {name} done {json.dumps(r)}", file=sys.stderr, flush=True)
             return r
         except Exception as e:
             traceback.print_exc()

