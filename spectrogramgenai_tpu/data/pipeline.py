@@ -28,6 +28,56 @@ from spectrogramgenai_tpu.audio.export import load_image_grayscale, spec_png_nam
 from spectrogramgenai_tpu.data.manifest import bootstrap_balance_indices, scan_image_folder
 
 
+def _probe_hw(path: str) -> tuple[int, int]:
+    """(height, width) of an image file without a full decode (PIL header
+    read for PNGs; .npy arrays load their header-described shape)."""
+    if path.endswith(".npy"):
+        arr = np.load(path, mmap_mode="r")
+        return int(arr.shape[0]), int(arr.shape[1])
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return im.height, im.width
+
+
+def decode_gray_batch(paths: list[str], height: int, width: int,
+                      num_threads: int = 8) -> np.ndarray:
+    """Batch PNG→grayscale decode → float32 [n, H, W] in [0, 1].
+
+    Fast path: the native C++ thread-pool decoder (native/png_batch.cpp,
+    bit-identical to PIL's convert("L")). Rows it cannot handle (non-PNG
+    such as .npy, unsupported encodings, mismatched dimensions) fall back to
+    load_image_grayscale + bilinear resize.
+    """
+    from spectrogramgenai_tpu.data.native_png import load_png_batch_gray, native_available
+
+    n = len(paths)
+    out = np.zeros((n, height, width), np.float32)
+    done = np.zeros(n, bool)
+    png_rows = [i for i, p in enumerate(paths) if p.endswith(".png")]
+    if png_rows and native_available():
+        raw, ok = load_png_batch_gray([paths[i] for i in png_rows], height, width,
+                                      num_threads=num_threads)
+        for j, i in enumerate(png_rows):
+            if ok[j]:
+                out[i] = raw[j].astype(np.float32) / 255.0
+                done[i] = True
+    for i in range(n):
+        if not done[i]:
+            img = load_image_grayscale(paths[i])
+            if img.shape != (height, width):
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.fromarray((img * 255).astype(np.uint8)).resize(
+                        (width, height), Image.BILINEAR
+                    ),
+                    dtype=np.float32,
+                ) / 255.0
+            out[i] = img
+    return out
+
+
 class ImageFolderSource:
     def __init__(self, root: str, bootstrap_balance: bool = False, seed: int = 0,
                  img_size: int | None = None):
@@ -38,6 +88,7 @@ class ImageFolderSource:
         self.bootstrap_balance = bootstrap_balance
         self.rng = np.random.default_rng(seed)
         self.img_size = img_size
+        self._probed_hw: tuple[int, int] | None = None
 
     def epoch_indices(self) -> np.ndarray:
         if self.bootstrap_balance:
@@ -60,6 +111,19 @@ class ImageFolderSource:
             ) / 255.0
         return {"image": img[..., None], "label": np.int32(self.labels[i])}
 
+    def _target_hw(self) -> tuple[int, int]:
+        if self.img_size:
+            return self.img_size, self.img_size
+        if self._probed_hw is None:
+            self._probed_hw = _probe_hw(self.paths[0])
+        return self._probed_hw
+
+    def load_batch(self, chunk: np.ndarray) -> dict:
+        """Whole-batch decode through the native PNG path (one C++ call)."""
+        h, w = self._target_hw()
+        imgs = decode_gray_batch([self.paths[i] for i in chunk], h, w)
+        return {"image": imgs[..., None], "label": self.labels[chunk].astype(np.int32)}
+
 
 class DataFrameImageSource:
     def __init__(self, df, root_dir: str, class_names: list[str],
@@ -69,27 +133,49 @@ class DataFrameImageSource:
         self.class_names = list(class_names)
         self.indices_columns = indices_columns
         self.rng = np.random.default_rng(seed)
+        self._probed_hw: tuple[int, int] | None = None
 
     def epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.df))
         self.rng.shuffle(idx)
         return idx
 
-    def load(self, i: int):
-        row = self.df.iloc[i]
+    def _path(self, row) -> str:
         path = row["file_name"]
         if not os.path.exists(path):
             path = os.path.join(self.root_dir, spec_png_name(row["file_name"], row["begin_time"]))
-        img = load_image_grayscale(path)
-        out = {
-            "image": img[..., None].astype(np.float32),
-            "label": np.int32(self.class_names.index(row["common_name"])),
-        }
+        return path
+
+    def _extras(self, row, out: dict) -> dict:
         if "embeddings" in row and isinstance(row["embeddings"], str):
             out["embedding"] = np.asarray([float(v) for v in row["embeddings"].split(",")], np.float32)
         if self.indices_columns:
             out["a_ind"] = np.asarray([float(row[c]) for c in self.indices_columns], np.float32)
         return out
+
+    def load(self, i: int):
+        row = self.df.iloc[i]
+        img = load_image_grayscale(self._path(row))
+        out = {
+            "image": img[..., None].astype(np.float32),
+            "label": np.int32(self.class_names.index(row["common_name"])),
+        }
+        return self._extras(row, out)
+
+    def load_batch(self, chunk: np.ndarray) -> dict:
+        """Whole-batch decode through the native PNG path (one C++ call)."""
+        rows = [self.df.iloc[int(i)] for i in chunk]
+        paths = [self._path(r) for r in rows]
+        if self._probed_hw is None:
+            self._probed_hw = _probe_hw(paths[0])
+        h, w = self._probed_hw
+        imgs = decode_gray_batch(paths, h, w)
+        samples = []
+        for j, r in enumerate(rows):
+            out = {"image": imgs[j][..., None],
+                   "label": np.int32(self.class_names.index(r["common_name"]))}
+            samples.append(self._extras(r, out))
+        return _collate(samples)
 
 
 def _collate(samples: list[dict]) -> dict:
@@ -98,7 +184,13 @@ def _collate(samples: list[dict]) -> dict:
 
 def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
                     num_threads: int = 8, epochs: int | None = 1) -> Iterator[dict]:
-    """Decode-threaded batch iterator over `source` (host NumPy batches)."""
+    """Decode-threaded batch iterator over `source` (host NumPy batches).
+
+    Sources exposing ``load_batch`` (whole-batch native decode, one C++
+    thread-pooled call per batch) take that path; otherwise per-sample
+    ``load`` fans out over a Python thread pool.
+    """
+    load_batch = getattr(source, "load_batch", None)
     pool = cf.ThreadPoolExecutor(max_workers=num_threads)
     try:
         epoch = 0
@@ -107,8 +199,10 @@ def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
             usable = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
             for start in range(0, usable, batch_size):
                 chunk = idx[start : start + batch_size]
-                samples = list(pool.map(source.load, chunk))
-                yield _collate(samples)
+                if load_batch is not None:
+                    yield load_batch(chunk)
+                else:
+                    yield _collate(list(pool.map(source.load, chunk)))
             epoch += 1
     finally:
         pool.shutdown(wait=False)

@@ -46,6 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 # exp overflow guard replacing softmax's max-subtraction (see _fwd_kernel).
 _EXP_CLAMP = 60.0
 
+# backward q-block cap for long sequences: the f32 scores/dP blocks are the
+# dominant VMEM tenants ((qb, N) each). 256 → 2×4 MB @ N=4096, measured
+# fastest that still compiles (512 exceeds VMEM; 128 is 2.6% slower).
+_BWD_QB_CAP = 256
+
 
 def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
     """softmax(q·kᵀ·scale)·v with ONE full-width VPU pass.
@@ -170,7 +175,7 @@ def _bwd_call(qf, kt, vt, do, *, q_block: int, interpret: bool):
     bh, n, d = qf.shape
     scale = 1.0 / (d**0.5)
     # f32 scores+probs+dP per block: keep 3·QB·N·4 well under VMEM.
-    qb = min(q_block, 128) if n >= 2048 else q_block
+    qb = min(q_block, _BWD_QB_CAP) if n >= 2048 else q_block
     n_qb = n // qb
     dq, dkt, dvt = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
