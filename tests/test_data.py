@@ -211,3 +211,30 @@ def test_mix_batch_specs():
         # midpoint normalization: (min+max)/2 maps to 0-ish, extremes to ±1
         for row in s:
             assert abs((row.min() + row.max()) / 2) < 1e-3
+
+
+def test_load_specdata_manifest_roundtrip(tmp_path):
+    # D10: the reference's specdata.npz contract (train_df/test_df/categories,
+    # loaded at train_acgan.py:24,53-55 / gen_specs.py:12-19)
+    import pandas as pd
+
+    from spectrogramgenai_tpu.data.manifest import load_specdata_manifest
+
+    train = np.array([["a.wav", "robin", 0.5], ["b.wav", "wren", 1.0]], dtype=object)
+    test = np.array([["c.wav", "robin", 2.0]], dtype=object)
+    path = tmp_path / "specdata.npz"
+    np.savez(path, train_df=train, test_df=test,
+             categories=np.array(["robin", "wren"]),
+             columns=np.array(["file", "common_name", "begin_time"]))
+    train_df, test_df, cats = load_specdata_manifest(str(path))
+    assert cats == ["robin", "wren"]
+    assert list(train_df.columns) == ["file", "common_name", "begin_time"]
+    assert len(train_df) == 2 and len(test_df) == 1
+    assert test_df.iloc[0]["file"] == "c.wav"
+
+    # columns embedded in the npz are optional (positional fallback)
+    np.savez(tmp_path / "specdata2.npz", train_df=train, test_df=test,
+             categories=np.array(["robin", "wren"]))
+    train_df2, _, _ = load_specdata_manifest(str(tmp_path / "specdata2.npz"))
+    assert list(train_df2.columns) == ["col0", "col1", "col2"]
+    assert isinstance(train_df2, pd.DataFrame)

@@ -201,10 +201,14 @@ def measure_sampling_baseline(
         )
 
     x = chain_step(x, noise_steps - 1)  # warmup (allocators, thread pool)
-    t0 = time.perf_counter()
-    for k in range(timed_steps):
+    # best-of-N single steps: robust to transient machine load and
+    # conservative for the speedup ratio (fastest CPU = hardest baseline)
+    per_step = []
+    for k in range(max(timed_steps, 3)):
+        t0 = time.perf_counter()
         x = chain_step(x, noise_steps - 2 - k)
-    measured_step = (time.perf_counter() - t0) / timed_steps
+        per_step.append(time.perf_counter() - t0)
+    measured_step = min(per_step)
     step_seconds = measured_step / mb * batch  # linear-in-batch extrapolation
 
     t0 = time.perf_counter()
