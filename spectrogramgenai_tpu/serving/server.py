@@ -1,0 +1,268 @@
+"""Dynamic-batching generation server (capability beyond the reference).
+
+The reference generates offline only (ddpm_conditional_generate.py). For
+production serving the constraint is TPU-shaped: the reverse-diffusion chain
+is one compiled program whose cost is nearly flat in batch size up to the
+measured sweet spot (internal batch 54 = 27 labels × CFG on v5e — see
+PARITY.md perf notes), so throughput comes from *filling* each chain, and
+latency from not waiting too long to fill it.
+
+Design:
+  * ONE jitted sampler at a FIXED label-batch (`batch_size`) — every request
+    shape-pads into it, so the 999/50-step scan never retraces or recompiles.
+  * A coalescing queue: requests (label, count) are expanded into label
+    slots; a worker thread drains up to `batch_size` slots, waiting at most
+    `max_delay_ms` once the first slot arrives (classic dynamic batching).
+  * Results are fanned back out to per-request futures; the HTTP layer
+    (GenerationHTTPServer) serves them as base64 PNGs.
+
+Single-host by design: multi-chip scaling uses the same data-axis sharding
+as DiffusionTask.sample (labels sharded over the mesh), so one server
+process drives a whole slice; scale-out beyond a slice is N processes
+behind any HTTP load balancer.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _Slot:
+    """One requested image: a label index and the future collecting it."""
+
+    __slots__ = ("label", "future", "results", "want")
+
+    def __init__(self, label: int, future: Future, results: list, want: int):
+        self.label = label
+        self.future = future
+        self.results = results  # shared per-request accumulator
+        self.want = want
+
+
+class BatchingSampler:
+    """Coalesce concurrent generation requests into fixed-shape sampler calls.
+
+    Parameters
+    ----------
+    task, state : a DiffusionTask and its (restored) TrainState.
+    batch_size : compiled label-batch per chain; requests pad into it.
+    max_delay_ms : max time the worker waits to fill a batch after the
+        first request arrives (the latency/throughput knob).
+    sampler, num_steps, use_ema, cfg_scale : forwarded to task.sample.
+    """
+
+    def __init__(self, task, state, *, batch_size: int = 27, max_delay_ms: float = 50.0,
+                 sampler: str = "ddim", num_steps: int = 50, use_ema: bool = False,
+                 cfg_scale: float | None = None, seed: int = 0):
+        import jax
+
+        self.task = task
+        self.state = state
+        self.batch_size = int(batch_size)
+        self.max_delay_s = max_delay_ms / 1000.0
+        self.sampler = sampler
+        self.num_steps = int(num_steps)
+        self.use_ema = use_ema
+        self.cfg_scale = cfg_scale
+        self._key = jax.random.PRNGKey(seed)
+        self._queue: queue.Queue[_Slot] = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "images": 0, "batches": 0,
+                      "slots_filled": 0, "slots_padded": 0, "busy_seconds": 0.0}
+        self._worker = threading.Thread(target=self._run, name="sampler-worker", daemon=True)
+        self._worker.start()
+
+    # -- client API -------------------------------------------------------------
+    def submit(self, label: int, count: int = 1) -> Future:
+        """Request `count` images of class `label`; resolves to (count, H, W, C) uint8."""
+        if not (0 <= count <= 1024):
+            raise ValueError(f"count out of range: {count}")
+        fut: Future = Future()
+        results: list = []
+        with self._lock:
+            self.stats["requests"] += 1
+        for _ in range(count):
+            self._queue.put(_Slot(int(label), fut, results, count))
+        if count == 0:
+            fut.set_result(np.zeros((0,), np.uint8))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=10)
+
+    # -- worker -----------------------------------------------------------------
+    def _take_batch(self) -> list[_Slot]:
+        """Block for the first slot, then fill greedily until batch_size or
+        max_delay_ms elapses."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        slots = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(slots) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                slots.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return slots
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            slots = self._take_batch()
+            if not slots:
+                continue
+            labels = np.zeros((self.batch_size,), np.int32)  # pad slots sample class 0, discarded
+            labels[: len(slots)] = [s.label for s in slots]
+            self._key, k = jax.random.split(self._key)
+            t0 = time.monotonic()
+            try:
+                imgs = np.asarray(
+                    self.task.sample(self.state, k, jnp.asarray(labels),
+                                     use_ema=self.use_ema, cfg_scale=self.cfg_scale,
+                                     sampler=self.sampler, num_steps=self.num_steps)
+                )
+            except Exception as e:  # surface device failures to every waiting client
+                for s in slots:
+                    if not s.future.done():
+                        s.future.set_exception(e)
+                continue
+            dt = time.monotonic() - t0
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["slots_filled"] += len(slots)
+                self.stats["slots_padded"] += self.batch_size - len(slots)
+                self.stats["images"] += len(slots)
+                self.stats["busy_seconds"] += dt
+            for i, s in enumerate(slots):
+                s.results.append(imgs[i])
+                if len(s.results) == s.want and not s.future.done():
+                    s.future.set_result(np.stack(s.results))
+
+    def snapshot_stats(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+        busy = s.pop("busy_seconds")
+        s["busy_seconds"] = round(busy, 3)
+        if busy > 0:
+            s["images_per_sec_busy"] = round(s["images"] / busy, 3)
+        if s["batches"] > 0:
+            s["mean_occupancy"] = round(s["slots_filled"] / (s["batches"] * self.batch_size), 3)
+        return s
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    """uint8 (H, W, 1|3) → viridis/grayscale PNG bytes (same contract as
+    audio/export.save_generated_png, in-memory)."""
+    from PIL import Image
+
+    arr = img[..., 0] if img.ndim == 3 and img.shape[-1] == 1 else img
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class GenerationHTTPServer:
+    """Minimal production HTTP front end over a BatchingSampler.
+
+    Endpoints:
+      GET  /healthz            → {"ok": true, "backend": "...", "classes": N}
+      GET  /stats              → batching/throughput counters
+      POST /generate           → {"label": int|str, "count": int} →
+                                 {"label": i, "images": [<base64 png>, ...]}
+    """
+
+    def __init__(self, sampler: BatchingSampler, class_names: list[str] | None = None,
+                 host: str = "127.0.0.1", port: int = 8000,
+                 request_timeout_s: float = 600.0):
+        import jax
+
+        backend = jax.default_backend()
+        names = class_names or []
+        name_to_idx = {n: i for i, n in enumerate(names)}
+        num_classes = sampler.task.cfg.num_classes
+        timeout_s = request_timeout_s
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default; stats endpoint instead
+                pass
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True, "backend": backend, "classes": num_classes})
+                elif self.path == "/stats":
+                    self._json(200, sampler.snapshot_stats())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    return self._json(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    label = req.get("label", 0)
+                    if isinstance(label, str):
+                        if label not in name_to_idx:
+                            return self._json(400, {"error": f"unknown class {label!r}"})
+                        label = name_to_idx[label]
+                    label = int(label)
+                    if not (0 <= label < num_classes):
+                        return self._json(400, {"error": f"label out of range: {label}"})
+                    count = int(req.get("count", 1))
+                    if not (1 <= count <= 256):
+                        return self._json(400, {"error": f"count out of range: {count}"})
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": str(e)})
+                try:
+                    imgs = sampler.submit(label, count).result(timeout=timeout_s)
+                except Exception as e:
+                    return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                payload = [base64.b64encode(_png_bytes(im)).decode() for im in imgs]
+                self._json(200, {"label": label, "images": payload})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="http-server", daemon=True)
+        self._thread.start()
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._httpd.server_close()

@@ -1,0 +1,124 @@
+"""Serving layer: dynamic batching semantics + HTTP front end (tiny model, CPU)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spectrogramgenai_tpu.core.config import DDPMConfig, RunConfig
+from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+from spectrogramgenai_tpu.serving import BatchingSampler, GenerationHTTPServer
+from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+
+
+@pytest.fixture(scope="module")
+def tiny_task():
+    cfg = DDPMConfig(img_size=16, latent=False, num_classes=3, noise_steps=8,
+                     width_mult=0.125, remove_deep_conv=True,
+                     compute_dtype="float32", run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = DiffusionTask(cfg, mesh, total_steps=1)
+    state = task.init_state(0)
+    return task, state
+
+
+def test_batching_sampler_coalesces(tiny_task):
+    task, state = tiny_task
+    b = BatchingSampler(task, state, batch_size=4, max_delay_ms=200.0,
+                        sampler="ddim", num_steps=4)
+    try:
+        futs = [b.submit(i % 3) for i in range(4)]
+        outs = [f.result(timeout=120) for f in futs]
+        for o in outs:
+            assert o.shape == (1, 16, 16, 1) and o.dtype == np.uint8
+        stats = b.snapshot_stats()
+        # 4 concurrent single-image requests within one 200ms window must
+        # coalesce into ONE fixed-shape chain
+        assert stats["batches"] == 1
+        assert stats["slots_filled"] == 4 and stats["slots_padded"] == 0
+        assert stats["mean_occupancy"] == 1.0
+
+        # multi-image request resolves once all its slots are sampled
+        out = b.submit(2, count=3).result(timeout=120)
+        assert out.shape == (3, 16, 16, 1)
+        assert b.snapshot_stats()["images"] == 7
+    finally:
+        b.close()
+
+
+def test_batching_sampler_splits_oversize(tiny_task):
+    task, state = tiny_task
+    b = BatchingSampler(task, state, batch_size=2, max_delay_ms=10.0,
+                        sampler="ddim", num_steps=4)
+    try:
+        out = b.submit(1, count=5).result(timeout=120)  # 5 slots > batch 2 → 3 chains
+        assert out.shape == (5, 16, 16, 1)
+        assert b.snapshot_stats()["batches"] == 3
+    finally:
+        b.close()
+
+
+def test_http_server_generate_and_stats(tiny_task):
+    task, state = tiny_task
+    b = BatchingSampler(task, state, batch_size=4, max_delay_ms=20.0,
+                        sampler="ddim", num_steps=4)
+    server = GenerationHTTPServer(b, ["bird_a", "bird_b", "bird_c"], port=0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["classes"] == 3
+
+        req = urllib.request.Request(
+            f"{base}/generate",
+            data=json.dumps({"label": "bird_b", "count": 2}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert body["label"] == 1 and len(body["images"]) == 2
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+        assert img.size == (16, 16)
+
+        # concurrent clients exercise the coalescing path through HTTP
+        results = []
+
+        def hit(lbl):
+            rq = urllib.request.Request(f"{base}/generate",
+                                        data=json.dumps({"label": lbl}).encode(),
+                                        method="POST")
+            with urllib.request.urlopen(rq, timeout=300) as rr:
+                results.append(json.loads(rr.read()))
+
+        threads = [threading.Thread(target=hit, args=(i % 3,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4 and all(len(r["images"]) == 1 for r in results)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["images"] >= 6 and stats["batches"] >= 1
+        assert "images_per_sec_busy" in stats
+
+        # error paths: bad label / bad count are 400s, not crashes
+        for payload in ({"label": "nope"}, {"label": 99}, {"count": 0}):
+            rq = urllib.request.Request(f"{base}/generate",
+                                        data=json.dumps(payload).encode(), method="POST")
+            try:
+                urllib.request.urlopen(rq, timeout=30)
+                assert False, f"expected 400 for {payload}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()
+        b.close()
