@@ -156,7 +156,9 @@ def _bench_ddpm(num_classes=27):
     step = task.make_train_step()
     timgs = jnp.zeros((10, 256, 256, 1), jnp.float32)
     tlabs = jnp.zeros((10,), jnp.int32)
-    step_flops = _flops_of(jax.jit(task._train_step), state, timgs, tlabs)
+    # cost analysis on the SAME jitted step (a fresh jit would compile a
+    # second multi-minute executable just to read its FLOPs)
+    step_flops = _flops_of(step, state, timgs, tlabs)
     state, m = step(state, timgs, tlabs)
     device_sync(m)
     t0 = time.perf_counter()

@@ -21,7 +21,10 @@ def compute_features(images_u8: np.ndarray, params=None, batch: int = 32) -> np.
 
     from spectrogramgenai_tpu.eval.inception import InceptionV3
 
-    model = InceptionV3()
+    # fid_pool: pytorch-fid patches its branch pools to count_include_pad=False
+    # (unlike torchvision) — required for parity with `python -m pytorch_fid`,
+    # which is the reference's documented FID recipe (README.md:58-62).
+    model = InceptionV3(fid_pool=True)
     if params is None:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)), train=False)
 

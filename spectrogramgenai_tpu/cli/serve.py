@@ -60,6 +60,8 @@ def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
         finally:
             server.shutdown()
             batcher.close()
+    else:
+        server.start()  # background handler thread; caller owns shutdown()
     return server, batcher
 
 

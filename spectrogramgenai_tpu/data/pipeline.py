@@ -62,19 +62,29 @@ def decode_gray_batch(paths: list[str], height: int, width: int,
             if ok[j]:
                 out[i] = raw[j].astype(np.float32) / 255.0
                 done[i] = True
-    for i in range(n):
-        if not done[i]:
-            img = load_image_grayscale(paths[i])
-            if img.shape != (height, width):
-                from PIL import Image
+    rest = [i for i in range(n) if not done[i]]
 
-                img = np.asarray(
-                    Image.fromarray((img * 255).astype(np.uint8)).resize(
-                        (width, height), Image.BILINEAR
-                    ),
-                    dtype=np.float32,
-                ) / 255.0
-            out[i] = img
+    def _fallback(i: int) -> None:
+        img = load_image_grayscale(paths[i])
+        if img.shape != (height, width):
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray((img * 255).astype(np.uint8)).resize(
+                    (width, height), Image.BILINEAR
+                ),
+                dtype=np.float32,
+            ) / 255.0
+        out[i] = img
+
+    if len(rest) > 1 and num_threads > 1:
+        # PIL decode releases the GIL — keep the fallback path (non-PNG
+        # folders, no-toolchain hosts) as parallel as the native one
+        with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+            list(pool.map(_fallback, rest))
+    else:
+        for i in rest:
+            _fallback(i)
     return out
 
 
@@ -118,10 +128,11 @@ class ImageFolderSource:
             self._probed_hw = _probe_hw(self.paths[0])
         return self._probed_hw
 
-    def load_batch(self, chunk: np.ndarray) -> dict:
+    def load_batch(self, chunk: np.ndarray, num_threads: int = 8) -> dict:
         """Whole-batch decode through the native PNG path (one C++ call)."""
         h, w = self._target_hw()
-        imgs = decode_gray_batch([self.paths[i] for i in chunk], h, w)
+        imgs = decode_gray_batch([self.paths[i] for i in chunk], h, w,
+                                 num_threads=num_threads)
         return {"image": imgs[..., None], "label": self.labels[chunk].astype(np.int32)}
 
 
@@ -162,14 +173,14 @@ class DataFrameImageSource:
         }
         return self._extras(row, out)
 
-    def load_batch(self, chunk: np.ndarray) -> dict:
+    def load_batch(self, chunk: np.ndarray, num_threads: int = 8) -> dict:
         """Whole-batch decode through the native PNG path (one C++ call)."""
         rows = [self.df.iloc[int(i)] for i in chunk]
         paths = [self._path(r) for r in rows]
         if self._probed_hw is None:
             self._probed_hw = _probe_hw(paths[0])
         h, w = self._probed_hw
-        imgs = decode_gray_batch(paths, h, w)
+        imgs = decode_gray_batch(paths, h, w, num_threads=num_threads)
         samples = []
         for j, r in enumerate(rows):
             out = {"image": imgs[j][..., None],
@@ -186,9 +197,9 @@ def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
                     num_threads: int = 8, epochs: int | None = 1) -> Iterator[dict]:
     """Decode-threaded batch iterator over `source` (host NumPy batches).
 
-    Sources exposing ``load_batch`` (whole-batch native decode, one C++
-    thread-pooled call per batch) take that path; otherwise per-sample
-    ``load`` fans out over a Python thread pool.
+    Sources exposing ``load_batch(chunk, num_threads=8)`` (whole-batch
+    native decode, one C++ thread-pooled call per batch) take that path;
+    otherwise per-sample ``load`` fans out over a Python thread pool.
     """
     load_batch = getattr(source, "load_batch", None)
     pool = cf.ThreadPoolExecutor(max_workers=num_threads)
@@ -200,7 +211,7 @@ def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
             for start in range(0, usable, batch_size):
                 chunk = idx[start : start + batch_size]
                 if load_batch is not None:
-                    yield load_batch(chunk)
+                    yield load_batch(chunk, num_threads=num_threads)
                 else:
                     yield _collate(list(pool.map(source.load, chunk)))
             epoch += 1

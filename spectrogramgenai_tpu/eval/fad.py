@@ -77,6 +77,11 @@ def embeddings_for_dir(audio_dir: str, mode: str = "mel", target_sr: int = FAD_S
 
         if not clap_ckpt:
             raise ValueError("clap mode needs --clap_ckpt (converted via tools/convert_clap.py)")
+        if target_sr != FAD_SAMPLE_RATE:
+            # the CLAP mel frontend (eval/clap.py) is fixed at 48 kHz — any
+            # other load rate would silently time/frequency-misscale the clips
+            raise ValueError(f"clap mode requires sample_rate={FAD_SAMPLE_RATE} "
+                             f"(got {target_sr}); wavs are resampled on load")
         variables = load_clap_params(clap_ckpt)
         return clap_embeddings(wavs, variables)
     raise ValueError(f"unknown embedding mode {mode!r}")

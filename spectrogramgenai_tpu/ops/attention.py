@@ -43,7 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# exp overflow guard replacing softmax's max-subtraction (see _fwd_kernel).
+# exp over/underflow guard replacing softmax's max-subtraction (see
+# _fwd_kernel). Two-sided: +60 prevents f32 overflow; -60 keeps a
+# fully-negative row's denominator strictly positive (exp(-60)≈8.7e-27,
+# well above the f32 subnormal floor) so 0/0 NaNs cannot occur even for
+# pathological inputs.
 _EXP_CLAMP = 60.0
 
 # backward q-block cap for long sequences: the f32 scores/dP blocks are the
@@ -60,13 +64,15 @@ def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
     (measured: K≤256 matmuls are equally fast on the MXU, so the d=16
     contraction is not the constraint). Restructured to keep the VPU work to
     a single fused pass:
-      * scale, overflow-clamp, exp, and the bf16 cast fuse into one pass
-        (the clamp at 60 replaces max-subtraction: exp(60)≈1e26 and a row
-        sum of 4096 of them ≈4e29 both sit comfortably inside f32, and for
-        any realistically-normalized q·k the clamp never binds, where
-        softmax-with-max-sub is bitwise-identical anyway);
-      * the row denominator comes from an MXU matmul with a ones vector
-        (f32 accumulation), not a VPU reduction;
+      * scale, over/underflow-clamp, exp, and the bf16 cast fuse into one
+        pass (the clamp at ±60 replaces max-subtraction: exp(60)≈1e26 and a
+        row sum of 4096 of them ≈4e29 both sit comfortably inside f32; the
+        -60 floor keeps the denominator positive even if a whole row
+        underflows. For any realistically-normalized q·k — LayerNorm'd here
+        — the clamp never binds, where softmax-with-max-sub is
+        bitwise-identical anyway);
+      * the row denominator is a VPU reduction (an MXU ones-matmul was
+        measured SLOWER — see the inline comment);
       * normalization moves onto the (QB, d) OUTPUT — P·V/r ≡ (P/r)·V by
         linearity — which is 128-256× smaller than the (QB, N) probs.
     """
@@ -74,7 +80,7 @@ def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
     k_t = kt_ref[0]        # (d, N)
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)  # (QB, N) f32
     # one fused VPU pass: scale·clamp·exp·cast
-    probs = jnp.exp(jnp.minimum(scores * scale, _EXP_CLAMP)).astype(vt_ref.dtype)
+    probs = jnp.exp(jnp.clip(scores * scale, -_EXP_CLAMP, _EXP_CLAMP)).astype(vt_ref.dtype)
     # row sums stay on the VPU: an MXU ones-matmul was measured SLOWER (its
     # (QB, 1) output wastes 127/128 lanes over a full-depth contraction —
     # as many tile-passes as the whole P·V matmul)
@@ -107,7 +113,7 @@ def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scal
     # (QB, N) elementwise work below is 3 fused passes total; every 1/r
     # normalization is folded into a (QB, ·)-sized operand instead.
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)
-    pt = jnp.exp(jnp.minimum(scores * scale, _EXP_CLAMP)).astype(q.dtype)  # pass 1
+    pt = jnp.exp(jnp.clip(scores * scale, -_EXP_CLAMP, _EXP_CLAMP)).astype(q.dtype)  # pass 1
     r = jnp.sum(pt.astype(jnp.float32), axis=-1, keepdims=True)      # (QB, 1)
     rinv = 1.0 / r
 
@@ -252,6 +258,9 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int | Non
     b, h, n, d = q.shape
     if q_block is None:
         q_block = 512 if (n >= 2048 and n % 512 == 0) else min(n, 128)
+    if n % q_block:
+        raise ValueError(f"sequence length {n} not divisible by q_block {q_block}; "
+                         "pad the token axis (the kernel grid would drop trailing tokens)")
     bh = b * h
     qf = q.reshape(bh, n, d)
     kt = k.reshape(bh, n, d).swapaxes(1, 2)  # (BH, d, N): token axis in lanes

@@ -85,7 +85,7 @@ class BatchingSampler:
     # -- client API -------------------------------------------------------------
     def submit(self, label: int, count: int = 1) -> Future:
         """Request `count` images of class `label`; resolves to (count, H, W, C) uint8."""
-        if not (0 <= count <= 1024):
+        if not (1 <= count <= 1024):
             raise ValueError(f"count out of range: {count}")
         fut: Future = Future()
         results: list = []
@@ -93,8 +93,6 @@ class BatchingSampler:
             self.stats["requests"] += 1
         for _ in range(count):
             self._queue.put(_Slot(int(label), fut, results, count))
-        if count == 0:
-            fut.set_result(np.zeros((0,), np.uint8))
         return fut
 
     def close(self):

@@ -90,7 +90,9 @@ class DiffusionTask:
             fused_attention=on_tpu,
             dtype=dt,
         )
-        self.sample_model = self.model.clone(fused_attention=on_tpu)
+        # training and sampling share one architecture since the fused
+        # attention kernel became differentiable (custom VJP)
+        self.sample_model = self.model
         self.tx = common.make_adamw_onecycle(cfg.lr, total_steps, eps=cfg.adam_eps)
         self._jit_sampler = None
 
