@@ -74,3 +74,26 @@ def test_fused_attention_grads_match_einsum():
     want = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
     for g, r, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4, err_msg=f"d{name}")
+
+
+def test_fused_attention_rejects_nondivisible_n():
+    # the kernel grid floors n // q_block — silently dropping trailing query
+    # tokens must be an error, not garbage output
+    import pytest
+
+    q = jnp.zeros((1, 1, 320, 16))
+    with pytest.raises(ValueError, match="not divisible"):
+        fused_attention(q, q, q, interpret=INTERPRET)
+
+
+def test_fused_attention_underflow_row_no_nan():
+    # a fully-underflowed score row (all q·kᵀ·scale « -60) must not produce
+    # 0/0 NaNs: the two-sided clamp floors the denominator at 4096·exp(-60)
+    n, d = 256, 16
+    q = jnp.full((1, 1, n, d), 100.0)
+    k = jnp.full((1, 1, n, d), -100.0)  # scores = -d·10⁴·scale, far past -60
+    v = jnp.ones((1, 1, n, d))
+    out = fused_attention(q, k, v, q_block=128, interpret=INTERPRET)
+    assert np.isfinite(np.asarray(out)).all()
+    # uniform (clamped) probs over a constant V row → output ≈ 1
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-3)
