@@ -21,28 +21,34 @@ import os
 
 def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
         sampler: str, num_steps: int, use_ema: bool, class_names: list[str],
-        warmup: bool = True, block: bool = True):
-    import jax
-    import jax.numpy as jnp
-
-    from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
-    from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
-    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+        warmup: bool = True, block: bool = True, artifact: str | None = None):
     from spectrogramgenai_tpu.serving import BatchingSampler, GenerationHTTPServer
-    from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
 
-    mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
-    vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
-    task = DiffusionTask(cfg, mesh, total_steps=1, vq_variables=vq_vars)
-    state = task.init_state()
-    restored = CheckpointManager(os.path.join("models", cfg.run.run_name)).restore(state)
-    if restored is None:
-        raise FileNotFoundError(f"no DDPM checkpoint under models/{cfg.run.run_name}")
-    state = restored
+    if artifact:
+        # serve an exported StableHLO artifact — no checkpoint/model code
+        from spectrogramgenai_tpu.serving.export import load_artifact
 
-    batcher = BatchingSampler(task, state, batch_size=serve_batch,
-                              max_delay_ms=max_delay_ms, sampler=sampler,
-                              num_steps=num_steps, use_ema=use_ema)
+        art = load_artifact(artifact)
+        batcher = BatchingSampler.from_artifact(art, max_delay_ms=max_delay_ms)
+        serve_batch, sampler = art.num_labels, art.manifest["sampler"]
+    else:
+        from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
+        from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+        from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+        from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+
+        mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
+        vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
+        task = DiffusionTask(cfg, mesh, total_steps=1, vq_variables=vq_vars)
+        state = task.init_state()
+        restored = CheckpointManager(os.path.join("models", cfg.run.run_name)).restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no DDPM checkpoint under models/{cfg.run.run_name}")
+        state = restored
+
+        batcher = BatchingSampler(task, state, batch_size=serve_batch,
+                                  max_delay_ms=max_delay_ms, sampler=sampler,
+                                  num_steps=num_steps, use_ema=use_ema)
     if warmup:
         # compile the fixed-shape chain before accepting traffic
         print(f"serve: warming up ({sampler}, batch {serve_batch})…", flush=True)
@@ -80,6 +86,9 @@ def main(argv=None):
     p.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim"])
     p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
     p.add_argument("--use_ema", type=int, default=0)
+    p.add_argument("--artifact", default=None,
+                   help="serve an exported StableHLO sampler (cli.export_model) "
+                        "instead of a checkpoint; overrides batch/sampler args")
     p.add_argument("--train_folder_for_classes", default=None)
     add_config_args(p, DDPMConfig)
     a = p.parse_args(argv)
@@ -95,7 +104,7 @@ def main(argv=None):
 
     run(cfg, port=a.port, host=a.host, serve_batch=a.serve_batch,
         max_delay_ms=a.max_delay_ms, sampler=a.sampler, num_steps=a.num_steps,
-        use_ema=bool(a.use_ema), class_names=class_names)
+        use_ema=bool(a.use_ema), class_names=class_names, artifact=a.artifact)
 
 
 if __name__ == "__main__":

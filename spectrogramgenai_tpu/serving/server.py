@@ -58,6 +58,10 @@ class BatchingSampler:
     max_delay_ms : max time the worker waits to fill a batch after the
         first request arrives (the latency/throughput knob).
     sampler, num_steps, use_ema, cfg_scale : forwarded to task.sample.
+
+    Alternatively construct with `BatchingSampler.from_artifact(...)` to
+    serve an exported StableHLO sampler (serving/export.py) — no task,
+    state, or model code involved.
     """
 
     def __init__(self, task, state, *, batch_size: int = 27, max_delay_ms: float = 50.0,
@@ -73,6 +77,7 @@ class BatchingSampler:
         self.num_steps = int(num_steps)
         self.use_ema = use_ema
         self.cfg_scale = cfg_scale
+        self._artifact = None
         self._key = jax.random.PRNGKey(seed)
         self._queue: queue.Queue[_Slot] = queue.Queue()
         self._stop = threading.Event()
@@ -81,6 +86,38 @@ class BatchingSampler:
                       "slots_filled": 0, "slots_padded": 0, "busy_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, name="sampler-worker", daemon=True)
         self._worker.start()
+
+    @classmethod
+    def from_artifact(cls, artifact, *, max_delay_ms: float = 50.0, seed: int = 0):
+        """Serve an exported StableHLO sampler (serving/export.py): the
+        artifact fixes batch size, sampler type, steps, and CFG scale."""
+        self = cls.__new__(cls)
+        import jax
+
+        self.task = None
+        self.state = None
+        self.batch_size = artifact.num_labels
+        self.max_delay_s = max_delay_ms / 1000.0
+        self.sampler = artifact.manifest["sampler"]
+        self.num_steps = artifact.manifest["num_steps"]
+        self.use_ema = artifact.manifest["use_ema"]
+        self.cfg_scale = artifact.manifest["cfg_scale"]
+        self._artifact = artifact
+        self._key = jax.random.PRNGKey(seed)
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "images": 0, "batches": 0,
+                      "slots_filled": 0, "slots_padded": 0, "busy_seconds": 0.0}
+        self._worker = threading.Thread(target=self._run, name="sampler-worker", daemon=True)
+        self._worker.start()
+        return self
+
+    @property
+    def num_classes(self) -> int:
+        if self._artifact is not None:
+            return self._artifact.manifest["num_classes"]
+        return self.task.cfg.num_classes
 
     # -- client API -------------------------------------------------------------
     def submit(self, label: int, count: int = 1) -> Future:
@@ -132,11 +169,14 @@ class BatchingSampler:
             self._key, k = jax.random.split(self._key)
             t0 = time.monotonic()
             try:
-                imgs = np.asarray(
-                    self.task.sample(self.state, k, jnp.asarray(labels),
-                                     use_ema=self.use_ema, cfg_scale=self.cfg_scale,
-                                     sampler=self.sampler, num_steps=self.num_steps)
-                )
+                if self._artifact is not None:
+                    imgs = self._artifact(int(jax.random.randint(k, (), 0, 2**31 - 1)), labels)
+                else:
+                    imgs = np.asarray(
+                        self.task.sample(self.state, k, jnp.asarray(labels),
+                                         use_ema=self.use_ema, cfg_scale=self.cfg_scale,
+                                         sampler=self.sampler, num_steps=self.num_steps)
+                    )
             except Exception as e:  # surface device failures to every waiting client
                 for s in slots:
                     if not s.future.done():
@@ -195,7 +235,7 @@ class GenerationHTTPServer:
         backend = jax.default_backend()
         names = class_names or []
         name_to_idx = {n: i for i, n in enumerate(names)}
-        num_classes = sampler.task.cfg.num_classes
+        num_classes = sampler.num_classes
         timeout_s = request_timeout_s
 
         class Handler(BaseHTTPRequestHandler):

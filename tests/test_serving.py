@@ -122,3 +122,29 @@ def test_http_server_generate_and_stats(tiny_task):
     finally:
         server.shutdown()
         b.close()
+
+
+def test_artifact_backed_serving(tiny_task):
+    # serve an exported StableHLO artifact: no task/state/model code involved
+    from spectrogramgenai_tpu.serving.export import ExportedSampler, export_sampler
+
+    task, state = tiny_task
+    art = ExportedSampler(export_sampler(task, state, num_labels=2,
+                                         sampler="ddim", num_steps=4))
+    b = BatchingSampler.from_artifact(art, max_delay_ms=10.0)
+    server = GenerationHTTPServer(b, ["a", "b", "c"], port=0)
+    server.start()
+    try:
+        assert b.num_classes == 3 and b.batch_size == 2
+        out = b.submit(1, count=3).result(timeout=120)  # 3 slots through batch 2
+        assert out.shape == (3, 16, 16, 1) and out.dtype == np.uint8
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({"label": "c"}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert body["label"] == 2 and len(body["images"]) == 1
+    finally:
+        server.shutdown()
+        b.close()
