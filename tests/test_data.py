@@ -238,3 +238,38 @@ def test_load_specdata_manifest_roundtrip(tmp_path):
     train_df2, _, _ = load_specdata_manifest(str(tmp_path / "specdata2.npz"))
     assert list(train_df2.columns) == ["col0", "col1", "col2"]
     assert isinstance(train_df2, pd.DataFrame)
+
+
+def test_dataframe_source_indices_and_embeddings(tmp_path):
+    # D4 direct: SpecDatasetImInd semantics — 11 acoustic-index columns +
+    # BirdNET embedding CSV-string column ride along with each sample
+    import pandas as pd
+
+    from spectrogramgenai_tpu.audio.export import save_spectrogram_png, spec_png_name
+    from spectrogramgenai_tpu.data.pipeline import DataFrameImageSource
+
+    root = str(tmp_path)
+    ind_cols = ["ACI", "ADiv", "AEve", "BioA", "H", "Ht", "M", "NDSI",
+                "NDSIAnthro", "NDSIBio", "AR"]
+    rows = []
+    rng = np.random.default_rng(0)
+    for i, cname in enumerate(["robin", "wren"]):
+        fname = f"clip{i}.wav"
+        spec = rng.standard_normal((32, 32)).astype(np.float32)
+        save_spectrogram_png(spec, os.path.join(root, spec_png_name(fname, 0)))
+        row = {"file_name": fname, "begin_time": 0, "common_name": cname,
+               "embeddings": ",".join(str(v) for v in np.arange(4) + i)}
+        row.update({c: float(i * 11 + j) for j, c in enumerate(ind_cols)})
+        rows.append(row)
+    df = pd.DataFrame(rows)
+
+    src = DataFrameImageSource(df, root, ["robin", "wren"], indices_columns=ind_cols)
+    s = src.load(1)
+    assert s["a_ind"].shape == (11,) and s["a_ind"].dtype == np.float32
+    np.testing.assert_allclose(s["a_ind"], np.arange(11) + 11.0)
+    np.testing.assert_allclose(s["embedding"], [1.0, 2.0, 3.0, 4.0])
+    assert s["label"] == 1
+
+    # whole-batch path carries the same extras
+    b = src.load_batch(np.array([0, 1]))
+    assert b["a_ind"].shape == (2, 11) and b["embedding"].shape == (2, 4)

@@ -35,3 +35,28 @@ def test_denoise_mode():
     task, state, batch, m = _run_steps("denoise", steps=3)
     assert task.model.out_channels == 1
     assert np.isfinite(float(m["train_mse"]))
+
+
+def test_transformer_denoiser_forward_contract():
+    # M4 direct: 256² → 5-conv stride-2 encoder → 64 tokens d=512 transformer
+    # → transposed-conv decoder → tanh 1ch output, same spatial size
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectrogramgenai_tpu.models.denoiser import TransformerDenoiser
+
+    net = TransformerDenoiser(num_layers=1)  # tiny but real stack
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 256, 1))
+    variables = net.init(jax.random.PRNGKey(1), x)
+    out = net.apply(variables, x)
+    assert out.shape == (2, 256, 256, 1)
+    o = np.asarray(out)
+    assert (o >= -1.0).all() and (o <= 1.0).all()  # tanh head
+
+    # the residual application contract (train_acgan.py:211-215):
+    # x ← renorm(x − net(x)) stays in [-1, 1] per sample
+    from spectrogramgenai_tpu.data.transforms import renorm_m1_1
+
+    denoised = np.asarray(renorm_m1_1(x - out))
+    assert denoised.min() >= -1.0 - 1e-5 and denoised.max() <= 1.0 + 1e-5
