@@ -170,6 +170,23 @@ def _bench_ddpm(num_classes=27):
     if step_flops is not None:
         out["ddpm_train_step_tflops"] = step_flops / 1e12
         out["ddpm_train_mfu_pct"] = _mfu(step_flops, train_dt)
+
+    # batch 32: the chip's real training capacity (batch 10 is reference
+    # parity, train_ddpm.py:31; 32 is the largest that fits 16 GB remat'd)
+    state32 = task.init_state(0)
+    imgs32 = jax.random.uniform(jax.random.PRNGKey(2), (32, 256, 256, 1))
+    labs32 = jnp.zeros((32,), jnp.int32)
+    flops32 = _flops_of(step, state32, imgs32, labs32)
+    state32, m = step(state32, imgs32, labs32)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state32, m = step(state32, imgs32, labs32)
+    device_sync(m)
+    dt32 = (time.perf_counter() - t0) / 5
+    out["ddpm_train_images_per_sec_per_chip_batch32"] = 32 / dt32
+    if flops32 is not None:
+        out["ddpm_train_mfu_pct_batch32"] = _mfu(flops32, dt32)
     return out
 
 

@@ -78,6 +78,7 @@ class BatchingSampler:
         self.use_ema = use_ema
         self.cfg_scale = cfg_scale
         self._artifact = None
+        self.last_device_error: str | None = None
         self._key = jax.random.PRNGKey(seed)
         self._queue: queue.Queue[_Slot] = queue.Queue()
         self._stop = threading.Event()
@@ -103,6 +104,7 @@ class BatchingSampler:
         self.use_ema = artifact.manifest["use_ema"]
         self.cfg_scale = artifact.manifest["cfg_scale"]
         self._artifact = artifact
+        self.last_device_error = None
         self._key = jax.random.PRNGKey(seed)
         self._queue = queue.Queue()
         self._stop = threading.Event()
@@ -178,6 +180,7 @@ class BatchingSampler:
                                          sampler=self.sampler, num_steps=self.num_steps)
                     )
             except Exception as e:  # surface device failures to every waiting client
+                self.last_device_error = f"{type(e).__name__}: {e}"
                 for s in slots:
                     if not s.future.done():
                         s.future.set_exception(e)
@@ -252,7 +255,14 @@ class GenerationHTTPServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._json(200, {"ok": True, "backend": backend, "classes": num_classes})
+                    # a device failure (e.g. TPU worker restart) is not
+                    # recoverable in-process — report unhealthy so a
+                    # supervisor/load balancer can restart or drain us
+                    err = sampler.last_device_error
+                    self._json(200 if err is None else 503,
+                               {"ok": err is None, "backend": backend,
+                                "classes": num_classes,
+                                **({"device_error": err} if err else {})})
                 elif self.path == "/stats":
                     self._json(200, sampler.snapshot_stats())
                 else:

@@ -148,3 +148,34 @@ def test_artifact_backed_serving(tiny_task):
     finally:
         server.shutdown()
         b.close()
+
+
+def test_healthz_degrades_on_device_error(tiny_task):
+    task, state = tiny_task
+    b = BatchingSampler(task, state, batch_size=2, max_delay_ms=10.0,
+                        sampler="ddim", num_steps=4)
+    server = GenerationHTTPServer(b, port=0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+
+        # simulate an unrecoverable device failure in the worker
+        def boom(*a, **k):
+            raise RuntimeError("TPU worker process crashed")
+
+        b.task = type("T", (), {"sample": staticmethod(boom),
+                                "cfg": task.cfg})()
+        with pytest.raises(Exception):
+            b.submit(0).result(timeout=60)
+        try:
+            urllib.request.urlopen(f"{base}/healthz", timeout=30)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            body = json.loads(e.read())
+            assert not body["ok"] and "crashed" in body["device_error"]
+    finally:
+        server.shutdown()
+        b.close()
