@@ -218,6 +218,7 @@ def _bench_acgan(batch=16):
     step = task.make_train_step()
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     labs = jnp.zeros((batch,), jnp.int32)
+    flops = _flops_of(step, state, imgs, labs)
     state, m = step(state, imgs, labs)
     device_sync(m)
     t0 = time.perf_counter()
@@ -225,8 +226,11 @@ def _bench_acgan(batch=16):
         state, m = step(state, imgs, labs)
     device_sync(m)
     dt = (time.perf_counter() - t0) / 5
-    return {"acgan_train_steps_per_sec_batch16": 1.0 / dt,
-            "acgan_train_images_per_sec_per_chip": batch / dt}
+    out = {"acgan_train_steps_per_sec_batch16": 1.0 / dt,
+           "acgan_train_images_per_sec_per_chip": batch / dt}
+    if flops is not None:
+        out["acgan_train_mfu_pct"] = _mfu(flops, dt)
+    return out
 
 
 def _bench_vqvae(batch=16):
@@ -244,6 +248,7 @@ def _bench_vqvae(batch=16):
     state = task.init_state(img_size=256, seed=0)
     step = task.make_train_step()
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
+    flops = _flops_of(step, state, imgs)
     state, m = step(state, imgs)
     device_sync(m)
     t0 = time.perf_counter()
@@ -251,8 +256,11 @@ def _bench_vqvae(batch=16):
         state, m = step(state, imgs)
     device_sync(m)
     dt = (time.perf_counter() - t0) / 5
-    return {"vqvae_train_steps_per_sec_batch16": 1.0 / dt,
-            "vqvae_train_images_per_sec_per_chip": batch / dt}
+    out = {"vqvae_train_steps_per_sec_batch16": 1.0 / dt,
+           "vqvae_train_images_per_sec_per_chip": batch / dt}
+    if flops is not None:
+        out["vqvae_train_mfu_pct"] = _mfu(flops, dt)
+    return out
 
 
 def _bench_classifier(batch=16, model_name="custom"):
@@ -271,6 +279,7 @@ def _bench_classifier(batch=16, model_name="custom"):
     step = task.make_train_step()
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     labs = jnp.zeros((batch,), jnp.int32)
+    flops = _flops_of(step, state, imgs, labs)
     state, m = step(state, imgs, labs)
     device_sync(m)
     t0 = time.perf_counter()
@@ -278,7 +287,10 @@ def _bench_classifier(batch=16, model_name="custom"):
         state, m = step(state, imgs, labs)
     device_sync(m)
     dt = (time.perf_counter() - t0) / 5
-    return {f"classifier_{model_name}_train_images_per_sec_per_chip": batch / dt}
+    out = {f"classifier_{model_name}_train_images_per_sec_per_chip": batch / dt}
+    if flops is not None:
+        out[f"classifier_{model_name}_train_mfu_pct"] = _mfu(flops, dt)
+    return out
 
 
 def main():

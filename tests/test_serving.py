@@ -179,3 +179,23 @@ def test_healthz_degrades_on_device_error(tiny_task):
     finally:
         server.shutdown()
         b.close()
+
+
+def test_serving_on_multichip_mesh():
+    # one server process drives a whole slice: labels shard over the data
+    # axis inside task.sample when the batch divides the mesh
+    cfg = DDPMConfig(img_size=16, latent=False, num_classes=8, noise_steps=8,
+                     width_mult=0.125, remove_deep_conv=True,
+                     compute_dtype="float32", run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=8))
+    task = DiffusionTask(cfg, mesh, total_steps=1)
+    state = task.init_state(0)
+    b = BatchingSampler(task, state, batch_size=8, max_delay_ms=50.0,
+                        sampler="ddim", num_steps=4)
+    try:
+        futs = [b.submit(i) for i in range(8)]
+        outs = [f.result(timeout=300) for f in futs]
+        assert all(o.shape == (1, 16, 16, 1) for o in outs)
+        assert b.snapshot_stats()["batches"] <= 2  # coalesced across the mesh
+    finally:
+        b.close()
