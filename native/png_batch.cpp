@@ -226,3 +226,108 @@ extern "C" int png_batch_load_gray(const char** paths, int n, unsigned char* out
     }
     return good.load();
 }
+
+// ---------------------------------------------------------------------------
+// Batch RGB PNG ENCODER — the other half of the bulk-export path.
+//
+// The reference's gen_specs/birdnet_all_spec bulk export writes one viridis
+// PNG per 6-s window via plt.imsave (reference helpers.py:103): for the
+// paper's 640 h corpus that is ~384k files, and PIL's single-threaded
+// zlib-level-6 encode (~10-25 ms/image) — not the mel math — is the wall.
+// Here scanlines are Sub-filtered (cheap, effective on smooth colormaps)
+// and deflated at a configurable level in a thread pool, one file per row
+// of the caller's [n, H, W, 3] uint8 buffer.
+//
+// C ABI (ctypes):
+//   int png_batch_save_rgb(const char** paths, int n,
+//                          const unsigned char* rgb, int h, int w,
+//                          unsigned char* ok, int num_threads, int level);
+
+namespace {
+
+void put_be32(std::vector<uint8_t>* out, uint32_t v) {
+    out->push_back(uint8_t(v >> 24));
+    out->push_back(uint8_t(v >> 16));
+    out->push_back(uint8_t(v >> 8));
+    out->push_back(uint8_t(v));
+}
+
+void put_chunk(std::vector<uint8_t>* out, const char type[4],
+               const uint8_t* data, size_t len) {
+    put_be32(out, uint32_t(len));
+    size_t type_at = out->size();
+    out->insert(out->end(), type, type + 4);
+    out->insert(out->end(), data, data + len);
+    uint32_t crc = uint32_t(crc32(0L, out->data() + type_at, uInt(4 + len)));
+    put_be32(out, crc);
+}
+
+bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
+    const size_t row = size_t(w) * 3;
+    // Sub-filtered scanlines: filter byte 1 + per-byte left delta
+    std::vector<uint8_t> raw((row + 1) * size_t(h));
+    for (int y = 0; y < h; ++y) {
+        uint8_t* dst = raw.data() + size_t(y) * (row + 1);
+        const uint8_t* src = rgb + size_t(y) * row;
+        dst[0] = 1;  // Sub
+        dst[1] = src[0]; dst[2] = src[1]; dst[3] = src[2];
+        for (size_t x = 3; x < row; ++x) dst[1 + x] = uint8_t(src[x] - src[x - 3]);
+    }
+
+    uLongf bound = compressBound(uLong(raw.size()));
+    std::vector<uint8_t> deflated(bound);
+    if (compress2(deflated.data(), &bound, raw.data(), uLong(raw.size()),
+                  level) != Z_OK)
+        return false;
+    deflated.resize(bound);
+
+    std::vector<uint8_t> png;
+    png.reserve(deflated.size() + 128);
+    static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+    png.insert(png.end(), sig, sig + 8);
+    uint8_t ihdr[13];
+    ihdr[0] = uint8_t(uint32_t(w) >> 24); ihdr[1] = uint8_t(uint32_t(w) >> 16);
+    ihdr[2] = uint8_t(uint32_t(w) >> 8);  ihdr[3] = uint8_t(w);
+    ihdr[4] = uint8_t(uint32_t(h) >> 24); ihdr[5] = uint8_t(uint32_t(h) >> 16);
+    ihdr[6] = uint8_t(uint32_t(h) >> 8);  ihdr[7] = uint8_t(h);
+    ihdr[8] = 8;   // bit depth
+    ihdr[9] = 2;   // color type RGB
+    ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
+    put_chunk(&png, "IHDR", ihdr, sizeof(ihdr));
+    put_chunk(&png, "IDAT", deflated.data(), deflated.size());
+    put_chunk(&png, "IEND", nullptr, 0);
+
+    FILE* f = fopen(path, "wb");
+    if (!f) return false;
+    bool okw = fwrite(png.data(), 1, png.size(), f) == png.size();
+    fclose(f);
+    return okw;
+}
+
+}  // namespace
+
+extern "C" int png_batch_save_rgb(const char** paths, int n, const unsigned char* rgb,
+                                  int h, int w, unsigned char* ok, int num_threads,
+                                  int level) {
+    if (n <= 0) return 0;
+    if (level < 0 || level > 9) level = 3;
+    std::atomic<int> next(0), good(0);
+    int workers = num_threads > 0 ? (num_threads < n ? num_threads : n) : 1;
+    const size_t img = size_t(h) * w * 3;
+    auto run = [&]() {
+        for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+            bool success = encode_rgb(paths[i], rgb + size_t(i) * img, h, w, level);
+            ok[i] = success ? 1 : 0;
+            if (success) good.fetch_add(1);
+        }
+    };
+    if (workers == 1) {
+        run();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(workers);
+        for (int t = 0; t < workers; ++t) pool.emplace_back(run);
+        for (auto& t : pool) t.join();
+    }
+    return good.load();
+}

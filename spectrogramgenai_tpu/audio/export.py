@@ -38,6 +38,58 @@ def save_spectrogram_png(spec: np.ndarray, path: str) -> None:
     Image.fromarray(_viridis_rgba(img01)).save(path)
 
 
+def _viridis_lut() -> np.ndarray:
+    """256×3 uint8 viridis LUT; index = clip(int(x·256), 0, 255) is bit-exact
+    vs matplotlib Colormap.__call__'s quantization (verified in tests)."""
+    import matplotlib.cm as cm
+
+    return (cm.viridis(np.arange(256) / 255.0) * 255).astype(np.uint8)[:, :3]
+
+
+def save_spectrogram_pngs(specs: np.ndarray, paths: list[str],
+                          num_threads: int = 8) -> None:
+    """Batch viridis-PNG export — the bulk gen_specs path.
+
+    PIL's single-threaded zlib-6 encode (~10-25 ms/image) is the wall of the
+    reference's bulk export (helpers.py:103, ~384k files for the paper's
+    640 h corpus), not the mel math. This path does the per-image min/max +
+    viridis LUT vectorized over the whole batch, then hands the RGB planes
+    to the native C++ thread-pool encoder (native/png_batch.cpp, Sub filter);
+    per-file PIL is the fallback. Pixel-identical to save_spectrogram_png.
+    """
+    specs = np.asarray(specs)
+    n = specs.shape[0]
+    if n == 0:
+        return
+    for p in paths:
+        d = os.path.dirname(p)
+        if d:
+            os.makedirs(d, exist_ok=True)
+    lo = specs.min(axis=(1, 2), keepdims=True)
+    hi = specs.max(axis=(1, 2), keepdims=True)
+    rng = np.where(hi > lo, hi - lo, 1.0)
+    img01 = np.where(hi > lo, (specs - lo) / rng, 0.0)
+    idx = np.clip((img01 * 256.0).astype(np.int32), 0, 255)
+    rgb = np.ascontiguousarray(_viridis_lut()[idx])  # [n, H, W, 3] uint8
+
+    from spectrogramgenai_tpu.data.native_png import save_png_batch_rgb
+
+    ok = save_png_batch_rgb(rgb, paths, num_threads=num_threads)
+    rest = [i for i in range(n) if not ok[i]]
+    if rest:
+        import concurrent.futures as cf
+
+        def _one(i):
+            Image.fromarray(rgb[i]).save(paths[i])
+
+        if len(rest) > 1 and num_threads > 1:
+            with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+                list(pool.map(_one, rest))
+        else:
+            for i in rest:
+                _one(i)
+
+
 def save_generated_png(img_uint8: np.ndarray, path: str) -> None:
     """Generated-sample export (diff_modules.py:771-775): uint8/255 → viridis."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -27,7 +27,11 @@ def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
     import jax
     import jax.numpy as jnp
 
-    from spectrogramgenai_tpu.audio.export import save_spectrogram_npy, save_spectrogram_png, spec_png_name
+    from spectrogramgenai_tpu.audio.export import (
+        save_spectrogram_npy,
+        save_spectrogram_pngs,
+        spec_png_name,
+    )
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
     from spectrogramgenai_tpu.ops.mel_kernel import fused_logmel
 
@@ -58,12 +62,14 @@ def run(manifest: str, wav_dir: str, out_dir: str, batch_size: int = 64,
             specs = np.asarray(fused_logmel(jnp.asarray(clips), cfg, exact=exact))
         else:
             specs = np.asarray(logmel_spectrogram(jnp.asarray(clips), cfg))
-        for (row, _), spec in zip(rows, specs):
-            name = spec_png_name(row["file_name"], row["begin_time"])
-            save_spectrogram_png(spec, os.path.join(out_dir, name))
-            if save_npy:
+        names = [spec_png_name(row["file_name"], row["begin_time"]) for row, _ in rows]
+        # batch write through the native thread-pool PNG encoder — the
+        # single-threaded PIL encode, not the mel math, was the export wall
+        save_spectrogram_pngs(specs, [os.path.join(out_dir, n) for n in names])
+        if save_npy:
+            for name, spec in zip(names, specs):
                 save_spectrogram_npy(spec, os.path.join(out_dir, name.replace(".png", ".npy")))
-            n_done += 1
+        n_done += len(rows)
 
     # Native C++ thread-pool decode (falls back to scipy inside load_wav_batch).
     from spectrogramgenai_tpu.data.native_wav import load_wav_batch

@@ -74,3 +74,50 @@ def load_png_batch_gray(paths: list[str], height: int, width: int,
         num_threads,
     )
     return out, ok.astype(bool)
+
+
+def _get_save_fn():
+    global _lib
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "png_batch_save_rgb"):
+        # stale prebuilt library from before the encoder existed — rebuild once
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-B",
+                            "libpng_batch.so"], check=True, capture_output=True)
+            _lib = lib = ctypes.CDLL(_LIB_PATH)
+            lib.png_batch_load_gray.restype = ctypes.c_int
+        except (OSError, subprocess.CalledProcessError, AttributeError):
+            return None
+        if not hasattr(lib, "png_batch_save_rgb"):
+            return None
+    if lib.png_batch_save_rgb.restype != ctypes.c_int or not lib.png_batch_save_rgb.argtypes:
+        lib.png_batch_save_rgb.restype = ctypes.c_int
+        lib.png_batch_save_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ]
+    return lib.png_batch_save_rgb
+
+
+def save_png_batch_rgb(rgb: np.ndarray, paths: list[str], num_threads: int = 8,
+                       level: int = 3) -> np.ndarray:
+    """Write [n, H, W, 3] uint8 images as RGB PNGs (Sub filter, zlib `level`)
+    through the C++ thread pool. Returns ok[n] bool; all-False means the
+    native library is unavailable (caller falls back to PIL)."""
+    n = len(paths)
+    assert rgb.shape[0] == n and rgb.shape[-1] == 3 and rgb.dtype == np.uint8
+    ok = np.zeros(n, np.uint8)
+    fn = _get_save_fn()
+    if fn is None or n == 0:
+        return ok.astype(bool)
+    rgb = np.ascontiguousarray(rgb)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fn(c_paths, n,
+       rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+       rgb.shape[1], rgb.shape[2],
+       ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+       num_threads, level)
+    return ok.astype(bool)

@@ -81,3 +81,68 @@ def test_image_folder_batch_path_matches_per_sample(tmp_path):
     np.testing.assert_array_equal(
         batched["image"], np.stack([s["image"] for s in singles])
     )
+
+
+def test_native_png_encoder_matches_pil_path(tmp_path):
+    """Batch viridis export: native-encoded PNGs decode (via PIL) to exactly
+    the same pixels as the per-image PIL path, and the LUT quantization is
+    bit-exact vs matplotlib."""
+    import matplotlib.cm as cm
+    from PIL import Image
+
+    from spectrogramgenai_tpu.audio.export import (
+        save_spectrogram_png,
+        save_spectrogram_pngs,
+    )
+
+    rng = np.random.default_rng(0)
+    specs = (rng.standard_normal((4, 48, 64)) * 40.0 - 40.0).astype(np.float32)
+    specs[3, :, :] = 7.0  # constant image → zeros branch
+
+    batch_paths = [str(tmp_path / f"batch_{i}.png") for i in range(4)]
+    save_spectrogram_pngs(specs, batch_paths)
+    for i in range(4):
+        ref_path = str(tmp_path / f"ref_{i}.png")
+        save_spectrogram_png(specs[i], ref_path)
+        got = np.asarray(Image.open(batch_paths[i]).convert("RGB"))
+        want = np.asarray(Image.open(ref_path).convert("RGB"))
+        np.testing.assert_array_equal(got, want)
+
+    # LUT quantization == matplotlib Colormap.__call__ quantization
+    x = rng.random((16, 16)).astype(np.float32)
+    x[0, 0], x[0, 1] = 0.0, 1.0
+    want = (cm.viridis(x) * 255).astype(np.uint8)[..., :3]
+    lut = (cm.viridis(np.arange(256) / 255.0) * 255).astype(np.uint8)[:, :3]
+    got = lut[np.clip((x * 256.0).astype(np.int32), 0, 255)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_png_encoder_roundtrips_through_native_decoder(tmp_path):
+    # encode with the native encoder, decode with the native decoder:
+    # grayscale read-back must equal PIL's convert("L") of the same file
+    from PIL import Image
+
+    from spectrogramgenai_tpu.data.native_png import (
+        load_png_batch_gray,
+        native_available,
+        save_png_batch_rgb,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (3, 32, 40, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"r{i}.png") for i in range(3)]
+    ok = save_png_batch_rgb(rgb, paths)
+    if not ok.any():
+        import pytest
+
+        pytest.skip("native encoder unavailable (stale prebuilt library)")
+    assert ok.all()
+    gray, gok = load_png_batch_gray(paths, 32, 40)
+    assert gok.all()
+    for i in range(3):
+        pil = np.asarray(Image.open(paths[i]).convert("L"))
+        np.testing.assert_array_equal(gray[i], pil)
