@@ -53,6 +53,21 @@ def _mfu(flops, seconds):
     return 100.0 * flops / seconds / V5E_BF16_PEAK_FLOPS
 
 
+def _time_train_step(step, state, *args, iters=5):
+    """Mean seconds/step of a jitted `(state, *args) → (state, metrics)` step
+    (1 warmup call, then `iters` timed; device-synced — see CLAUDE.md on why
+    block_until_ready is not enough through the axon tunnel)."""
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
+
+    state, m = step(state, *args)
+    device_sync(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, *args)
+    device_sync(m)
+    return (time.perf_counter() - t0) / iters
+
+
 def _bench_mel(cfg, batch=256, iters=10):
     import jax
     import jax.numpy as jnp
@@ -159,13 +174,7 @@ def _bench_ddpm(num_classes=27):
     # cost analysis on the SAME jitted step (a fresh jit would compile a
     # second multi-minute executable just to read its FLOPs)
     step_flops = _flops_of(step, state, timgs, tlabs)
-    state, m = step(state, timgs, tlabs)
-    device_sync(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state, m = step(state, timgs, tlabs)
-    device_sync(m)
-    train_dt = (time.perf_counter() - t0) / 5
+    train_dt = _time_train_step(step, state, timgs, tlabs)
     out["ddpm_train_images_per_sec_per_chip_batch10"] = 10 / train_dt
     if step_flops is not None:
         out["ddpm_train_step_tflops"] = step_flops / 1e12
@@ -177,13 +186,7 @@ def _bench_ddpm(num_classes=27):
     imgs32 = jax.random.uniform(jax.random.PRNGKey(2), (32, 256, 256, 1))
     labs32 = jnp.zeros((32,), jnp.int32)
     flops32 = _flops_of(step, state32, imgs32, labs32)
-    state32, m = step(state32, imgs32, labs32)
-    device_sync(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state32, m = step(state32, imgs32, labs32)
-    device_sync(m)
-    dt32 = (time.perf_counter() - t0) / 5
+    dt32 = _time_train_step(step, state32, imgs32, labs32)
     out["ddpm_train_images_per_sec_per_chip_batch32"] = 32 / dt32
     if flops32 is not None:
         out["ddpm_train_mfu_pct_batch32"] = _mfu(flops32, dt32)
@@ -209,7 +212,6 @@ def _bench_acgan(batch=16):
     from spectrogramgenai_tpu.core.config import ACGANConfig, RunConfig
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.train.acgan_task import ACGANTask
-    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     cfg = ACGANConfig(run=RunConfig(seed=0))
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
@@ -219,13 +221,7 @@ def _bench_acgan(batch=16):
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     labs = jnp.zeros((batch,), jnp.int32)
     flops = _flops_of(step, state, imgs, labs)
-    state, m = step(state, imgs, labs)
-    device_sync(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state, m = step(state, imgs, labs)
-    device_sync(m)
-    dt = (time.perf_counter() - t0) / 5
+    dt = _time_train_step(step, state, imgs, labs)
     out = {"acgan_train_steps_per_sec_batch16": 1.0 / dt,
            "acgan_train_images_per_sec_per_chip": batch / dt}
     if flops is not None:
@@ -240,7 +236,6 @@ def _bench_vqvae(batch=16):
     from spectrogramgenai_tpu.core.config import RunConfig, VQVAEConfig
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.train.vqvae_task import VQVAETask
-    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     cfg = VQVAEConfig(run=RunConfig(seed=0))
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
@@ -249,13 +244,7 @@ def _bench_vqvae(batch=16):
     step = task.make_train_step()
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     flops = _flops_of(step, state, imgs)
-    state, m = step(state, imgs)
-    device_sync(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state, m = step(state, imgs)
-    device_sync(m)
-    dt = (time.perf_counter() - t0) / 5
+    dt = _time_train_step(step, state, imgs)
     out = {"vqvae_train_steps_per_sec_batch16": 1.0 / dt,
            "vqvae_train_images_per_sec_per_chip": batch / dt}
     if flops is not None:
@@ -270,7 +259,6 @@ def _bench_classifier(batch=16, model_name="custom"):
     from spectrogramgenai_tpu.core.config import ClassifierConfig, RunConfig
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
-    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     cfg = ClassifierConfig(model_name=model_name, run=RunConfig(seed=0))
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
@@ -280,13 +268,7 @@ def _bench_classifier(batch=16, model_name="custom"):
     imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     labs = jnp.zeros((batch,), jnp.int32)
     flops = _flops_of(step, state, imgs, labs)
-    state, m = step(state, imgs, labs)
-    device_sync(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state, m = step(state, imgs, labs)
-    device_sync(m)
-    dt = (time.perf_counter() - t0) / 5
+    dt = _time_train_step(step, state, imgs, labs)
     out = {f"classifier_{model_name}_train_images_per_sec_per_chip": batch / dt}
     if flops is not None:
         out[f"classifier_{model_name}_train_mfu_pct"] = _mfu(flops, dt)

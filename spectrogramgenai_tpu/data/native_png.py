@@ -92,13 +92,12 @@ def _get_save_fn():
             return None
         if not hasattr(lib, "png_batch_save_rgb"):
             return None
-    if lib.png_batch_save_rgb.restype != ctypes.c_int or not lib.png_batch_save_rgb.argtypes:
-        lib.png_batch_save_rgb.restype = ctypes.c_int
-        lib.png_batch_save_rgb.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
-        ]
+    lib.png_batch_save_rgb.restype = ctypes.c_int
+    lib.png_batch_save_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+    ]
     return lib.png_batch_save_rgb
 
 

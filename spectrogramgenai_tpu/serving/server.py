@@ -66,18 +66,24 @@ class BatchingSampler:
 
     def __init__(self, task, state, *, batch_size: int = 27, max_delay_ms: float = 50.0,
                  sampler: str = "ddim", num_steps: int = 50, use_ema: bool = False,
-                 cfg_scale: float | None = None, seed: int = 0):
+                 cfg_scale: float | None = None, seed: int = 0, artifact=None):
         import jax
 
         self.task = task
         self.state = state
+        self._artifact = artifact
+        if artifact is not None:  # the artifact froze these at export time
+            batch_size = artifact.num_labels
+            sampler = artifact.manifest["sampler"]
+            num_steps = artifact.manifest["num_steps"]
+            use_ema = artifact.manifest["use_ema"]
+            cfg_scale = artifact.manifest["cfg_scale"]
         self.batch_size = int(batch_size)
         self.max_delay_s = max_delay_ms / 1000.0
         self.sampler = sampler
         self.num_steps = int(num_steps)
         self.use_ema = use_ema
         self.cfg_scale = cfg_scale
-        self._artifact = None
         self.last_device_error: str | None = None
         self._key = jax.random.PRNGKey(seed)
         self._queue: queue.Queue[_Slot] = queue.Queue()
@@ -92,28 +98,7 @@ class BatchingSampler:
     def from_artifact(cls, artifact, *, max_delay_ms: float = 50.0, seed: int = 0):
         """Serve an exported StableHLO sampler (serving/export.py): the
         artifact fixes batch size, sampler type, steps, and CFG scale."""
-        self = cls.__new__(cls)
-        import jax
-
-        self.task = None
-        self.state = None
-        self.batch_size = artifact.num_labels
-        self.max_delay_s = max_delay_ms / 1000.0
-        self.sampler = artifact.manifest["sampler"]
-        self.num_steps = artifact.manifest["num_steps"]
-        self.use_ema = artifact.manifest["use_ema"]
-        self.cfg_scale = artifact.manifest["cfg_scale"]
-        self._artifact = artifact
-        self.last_device_error = None
-        self._key = jax.random.PRNGKey(seed)
-        self._queue = queue.Queue()
-        self._stop = threading.Event()
-        self._lock = threading.Lock()
-        self.stats = {"requests": 0, "images": 0, "batches": 0,
-                      "slots_filled": 0, "slots_padded": 0, "busy_seconds": 0.0}
-        self._worker = threading.Thread(target=self._run, name="sampler-worker", daemon=True)
-        self._worker.start()
-        return self
+        return cls(None, None, artifact=artifact, max_delay_ms=max_delay_ms, seed=seed)
 
     @property
     def num_classes(self) -> int:
