@@ -20,7 +20,7 @@ import numpy as np
 
 def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: list[str],
         sav_denoise_path: str | None = None, use_ema: bool = False,
-        sampler: str = "ddpm", num_steps: int = 50):
+        sampler: str = "ddpm", num_steps: int = 50, artifact: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +29,9 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
     from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
+
+    if artifact:
+        return _run_from_artifact(artifact, img_folder, num_samples, start_idx, class_names)
 
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
@@ -67,6 +70,41 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
                 name = f"{class_names[lab]}_gen_imgs_{i}_{samp_i + r}.png"
                 save_generated_png(img, os.path.join(img_folder, name))
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * n} images")
+        samp_i += k
+        remaining -= k
+
+
+def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
+                       start_idx: int, class_names: list[str]):
+    """Generate from an exported StableHLO sampler (cli.export_model) — no
+    checkpoint, config, or model code; the artifact froze sampler/steps/CFG.
+    Its label batch must be k·num_classes so the per-class naming contract
+    ({class}_gen_imgs_{i}_{samp}.png) holds."""
+    from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.serving.export import load_artifact
+
+    art = load_artifact(artifact_path)
+    ncls = art.manifest["num_classes"]
+    if len(class_names) != ncls:
+        raise ValueError(f"artifact has {ncls} classes, got {len(class_names)} names")
+    if art.num_labels % ncls:
+        raise ValueError(f"artifact label batch {art.num_labels} is not a "
+                         f"multiple of num_classes {ncls}")
+    rounds_per_chain = art.num_labels // ncls
+    labels = np.tile(np.arange(ncls, dtype=np.int32), rounds_per_chain)
+
+    os.makedirs(img_folder, exist_ok=True)
+    samp_i = start_idx
+    remaining = num_samples
+    while remaining > 0:
+        k = min(rounds_per_chain, remaining)
+        imgs = art(samp_i, labels)
+        for r in range(k):
+            block = imgs[r * ncls : (r + 1) * ncls]
+            for i, img in enumerate(block):
+                name = f"{class_names[i]}_gen_imgs_{i}_{samp_i + r}.png"
+                save_generated_png(img, os.path.join(img_folder, name))
+        print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * ncls} images")
         samp_i += k
         remaining -= k
 
@@ -126,6 +164,9 @@ def main(argv=None):
     p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
                    help="ddpm = reference-parity 999-step chain; ddim = fast sampler")
     p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
+    p.add_argument("--artifact", default=None,
+                   help="generate from an exported StableHLO sampler "
+                        "(cli.export_model) instead of a checkpoint")
     p.add_argument("--train_folder_for_classes", default=None,
                    help="derive class names from this folder's subdirs")
     add_config_args(p, DDPMConfig)
@@ -140,7 +181,8 @@ def main(argv=None):
         class_names = [f"class{i:02d}" for i in range(cfg.num_classes)]
 
     run(cfg, a.img_folder, a.num_samples, a.start_idx, class_names,
-        a.sav_denoise_path, bool(a.use_ema), a.sampler, a.num_steps)
+        a.sav_denoise_path, bool(a.use_ema), a.sampler, a.num_steps,
+        artifact=a.artifact)
 
 
 if __name__ == "__main__":

@@ -61,3 +61,26 @@ def test_export_future_format_rejected(tiny):
         z.writestr("sampler.stablehlo", payload)
     with pytest.raises(ValueError, match="newer than this runtime"):
         ExportedSampler(buf.getvalue())
+
+
+def test_generate_cli_from_artifact(tiny, tmp_path):
+    # the offline generation contract ({class}_gen_imgs_{i}_{samp}.png)
+    # works straight from an exported artifact — no checkpoint or config
+    import os
+
+    from spectrogramgenai_tpu.cli.generate import run as generate_run
+    from spectrogramgenai_tpu.serving.export import export_sampler, save_artifact
+
+    task, state = tiny
+    blob = export_sampler(task, state, num_labels=6, sampler="ddim", num_steps=4)
+    art_path = str(tmp_path / "sampler.shlo")
+    save_artifact(art_path, blob)
+
+    out = str(tmp_path / "gen")
+    names = ["a", "b", "c"]
+    generate_run(None, out, num_samples=3, start_idx=0, class_names=names,
+                 artifact=art_path)
+    files = sorted(os.listdir(out))
+    # 3 rounds × 3 classes; batch 6 = 2 rounds/chain → chains of 2 then 1
+    assert len(files) == 9
+    assert "a_gen_imgs_0_0.png" in files and "c_gen_imgs_2_2.png" in files
