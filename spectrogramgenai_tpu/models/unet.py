@@ -47,9 +47,14 @@ class ConditionalUNet(nn.Module):
     def _w(self, c: int) -> int:
         return max(8, int(c * self.width_mult))
 
-    def _sa(self, channels: int):
+    def _sa(self, channels: int, idx: int):
+        # explicit stable name: nn.remat changes the class name (Checkpoint…)
+        # and therefore the auto-generated param keys, which would make
+        # checkpoints non-portable between the remat'd (CPU/einsum) and
+        # non-remat'd (TPU/fused) paths
         cls = nn.remat(SpatialSelfAttention) if self.remat_attention else SpatialSelfAttention
-        return cls(fused=self.fused_attention, channels=channels, dtype=self.dtype)
+        return cls(fused=self.fused_attention, channels=channels, dtype=self.dtype,
+                   name=f"sa_{idx}")
 
     @nn.compact
     def __call__(self, x, t, y=None, cond_mask=None):
@@ -68,11 +73,11 @@ class ConditionalUNet(nn.Module):
         x = x.astype(dt)
         x1 = DoubleConv(w(64), dtype=dt)(x)
         x2 = Down(w(64), w(128), dtype=dt)(x1, t_emb)
-        x2 = self._sa(w(128))(x2)
+        x2 = self._sa(w(128), 0)(x2)
         x3 = Down(w(128), w(256), dtype=dt)(x2, t_emb)
-        x3 = self._sa(w(256))(x3)
+        x3 = self._sa(w(256), 1)(x3)
         x4 = Down(w(256), w(256), dtype=dt)(x3, t_emb)
-        x4 = self._sa(w(256))(x4)
+        x4 = self._sa(w(256), 2)(x4)
 
         if self.remove_deep_conv:
             x4 = DoubleConv(w(256), dtype=dt)(x4)
@@ -83,11 +88,11 @@ class ConditionalUNet(nn.Module):
             x4 = DoubleConv(w(256), dtype=dt)(x4)
 
         xu = Up(w(512), w(128), dtype=dt)(x4, x3, t_emb)
-        xu = self._sa(w(128))(xu)
+        xu = self._sa(w(128), 3)(xu)
         xu = Up(w(256), w(64), dtype=dt)(xu, x2, t_emb)
-        xu = self._sa(w(64))(xu)
+        xu = self._sa(w(64), 4)(xu)
         xu = Up(w(128), w(64), dtype=dt)(xu, x1, t_emb)
-        xu = self._sa(w(64))(xu)
+        xu = self._sa(w(64), 5)(xu)
         return nn.Conv(self.c_out, (1, 1), dtype=dt, name="outc")(xu).astype(jnp.float32)
 
 

@@ -173,3 +173,40 @@ def test_ddim_sampler():
     b = ddim_sample(task._apply, state.params, task.schedule, jax.random.PRNGKey(1),
                     labels, (16, 16, 1), num_steps=8)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_remat_flag_is_math_neutral_and_cpu_defaults_on():
+    # remat only reschedules recompute — gradients must be identical; and on
+    # the CPU/einsum path (this suite) the task must keep remat ON (the
+    # einsum score matrices are what remat exists to keep out of residuals)
+    import numpy as np
+    from spectrogramgenai_tpu.models.unet import ConditionalUNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    y = jnp.zeros((2,), jnp.int32)
+    m = jnp.ones((2,))
+
+    def grads(remat):
+        net = ConditionalUNet(num_classes=3, width_mult=0.125, remove_deep_conv=True,
+                              remat_attention=remat)
+        variables = net.init(jax.random.PRNGKey(1), x, t, y, m)
+
+        def loss(params):
+            return jnp.sum(net.apply({"params": params}, x, t, y, m) ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_on, g_off = grads(True), grads(False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-5),
+        g_on, g_off)
+
+    task = DiffusionTask(
+        DDPMConfig(img_size=16, latent=False, num_classes=3, noise_steps=8,
+                   width_mult=0.125, remove_deep_conv=True,
+                   compute_dtype="float32", run=RunConfig(seed=0)),
+        create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1]),
+        total_steps=1)
+    assert task.model.remat_attention  # CPU backend → einsum path → remat on
