@@ -229,6 +229,31 @@ def _bench_acgan(batch=16):
     return out
 
 
+def _bench_acgan_capacity(batch=64):
+    """ACGAN at a capacity batch (16 is reference parity, train_acgan.py:26;
+    this line shows what the chip can actually sustain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import ACGANConfig, RunConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.acgan_task import ACGANTask
+
+    cfg = ACGANConfig(run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ACGANTask(cfg, mesh)
+    state = task.init_state(0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((batch, 256, 256, 1), jnp.float32)
+    labs = jnp.zeros((batch,), jnp.int32)
+    flops = _flops_of(step, state, imgs, labs)
+    dt = _time_train_step(step, state, imgs, labs)
+    out = {f"acgan_train_images_per_sec_per_chip_batch{batch}": batch / dt}
+    if flops is not None:
+        out[f"acgan_train_mfu_pct_batch{batch}"] = _mfu(flops, dt)
+    return out
+
+
 def _bench_vqvae(batch=16):
     import jax
     import jax.numpy as jnp
@@ -252,7 +277,7 @@ def _bench_vqvae(batch=16):
     return out
 
 
-def _bench_classifier(batch=16, model_name="custom"):
+def _bench_classifier(batch=16, model_name="custom", capacity_batch=None):
     import jax
     import jax.numpy as jnp
 
@@ -272,6 +297,26 @@ def _bench_classifier(batch=16, model_name="custom"):
     out = {f"classifier_{model_name}_train_images_per_sec_per_chip": batch / dt}
     if flops is not None:
         out[f"classifier_{model_name}_train_mfu_pct"] = _mfu(flops, dt)
+    if capacity_batch:
+        imgs_c = jnp.zeros((capacity_batch, 256, 256, 1), jnp.float32)
+        labs_c = jnp.zeros((capacity_batch,), jnp.int32)
+        flops_c = _flops_of(step, state, imgs_c, labs_c)
+        dt_c = _time_train_step(step, state, imgs_c, labs_c)
+        out[f"classifier_{model_name}_train_images_per_sec_per_chip_batch{capacity_batch}"] = (
+            capacity_batch / dt_c)
+        if flops_c is not None:
+            out[f"classifier_{model_name}_train_mfu_pct_batch{capacity_batch}"] = _mfu(flops_c, dt_c)
+    return out
+
+
+def _bench_classifier_sweep():
+    """The reference's actual expensive workload: the resnet18/vgg16/
+    mobilenet_v2/ensemble × synthetic-count sweep (train_classifiers.py:73-81,
+    helpers.py:314-358). One train-step line per arch at the reference
+    batch 16; custom additionally at a capacity batch."""
+    out = {}
+    for name in ("resnet18", "vgg16", "mobilenet_v2", "ensemble"):
+        out.update(_bench_classifier(model_name=name))
     return out
 
 
@@ -316,8 +361,10 @@ def main():
     result.update(section("ddpm", _bench_ddpm))
     result.update(section("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline))
     result.update(section("acgan", _bench_acgan))
+    result.update(section("acgan_capacity", _bench_acgan_capacity))
     result.update(section("vqvae", _bench_vqvae))
-    result.update(section("classifier", _bench_classifier))
+    result.update(section("classifier", lambda: _bench_classifier(capacity_batch=256)))
+    result.update(section("classifier_sweep", _bench_classifier_sweep))
 
     tpu_sps = result.get("ddpm_sampling_samples_per_sec_per_chip")
     cpu_ddpm = result.get("cpu_reference_ddpm_samples_per_sec")

@@ -20,18 +20,21 @@ import numpy as np
 
 def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: list[str],
         sav_denoise_path: str | None = None, use_ema: bool = False,
-        sampler: str = "ddpm", num_steps: int = 50, artifact: str | None = None):
+        sampler: str = "ddpm", num_steps: int = 50, artifact: str | None = None,
+        force_batch: bool = False):
     import jax
     import jax.numpy as jnp
 
     from spectrogramgenai_tpu.audio.export import save_generated_png
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
+    from spectrogramgenai_tpu.core.limits import check_sampling_label_batch
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
     from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
 
     if artifact:
-        return _run_from_artifact(artifact, img_folder, num_samples, start_idx, class_names)
+        return _run_from_artifact(artifact, img_folder, num_samples, start_idx, class_names,
+                                  force_batch=force_batch)
 
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
@@ -56,6 +59,8 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
     # launch-bound at batch num_classes, so k rounds per chain raise
     # samples/sec/chip substantially (bench: 27→108 improves throughput).
     rounds_per_chain = max(1, min(cfg.rounds_per_chain, num_samples))
+    # refuse worker-killing chain batches before compiling (core/limits.py)
+    check_sampling_label_batch(rounds_per_chain * cfg.num_classes, force=force_batch)
     samp_i = start_idx
     remaining = num_samples
     while remaining > 0:
@@ -75,15 +80,17 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
 
 
 def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
-                       start_idx: int, class_names: list[str]):
+                       start_idx: int, class_names: list[str], force_batch: bool = False):
     """Generate from an exported StableHLO sampler (cli.export_model) — no
     checkpoint, config, or model code; the artifact froze sampler/steps/CFG.
     Its label batch must be k·num_classes so the per-class naming contract
     ({class}_gen_imgs_{i}_{samp}.png) holds."""
     from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.core.limits import check_sampling_label_batch
     from spectrogramgenai_tpu.serving.export import load_artifact
 
     art = load_artifact(artifact_path)
+    check_sampling_label_batch(art.num_labels, force=force_batch)
     ncls = art.manifest["num_classes"]
     if len(class_names) != ncls:
         raise ValueError(f"artifact has {ncls} classes, got {len(class_names)} names")
@@ -167,6 +174,9 @@ def main(argv=None):
     p.add_argument("--artifact", default=None,
                    help="generate from an exported StableHLO sampler "
                         "(cli.export_model) instead of a checkpoint")
+    p.add_argument("--force_batch", action="store_true",
+                   help="override the measured-safe TPU label-batch bound "
+                        "(core/limits.py; ≥81 labels crashes the axon worker)")
     p.add_argument("--train_folder_for_classes", default=None,
                    help="derive class names from this folder's subdirs")
     add_config_args(p, DDPMConfig)
@@ -182,7 +192,7 @@ def main(argv=None):
 
     run(cfg, a.img_folder, a.num_samples, a.start_idx, class_names,
         a.sav_denoise_path, bool(a.use_ema), a.sampler, a.num_steps,
-        artifact=a.artifact)
+        artifact=a.artifact, force_batch=a.force_batch)
 
 
 if __name__ == "__main__":

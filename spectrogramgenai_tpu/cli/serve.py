@@ -21,7 +21,8 @@ import os
 
 def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
         sampler: str, num_steps: int, use_ema: bool, class_names: list[str],
-        warmup: bool = True, block: bool = True, artifact: str | None = None):
+        warmup: bool = True, block: bool = True, artifact: str | None = None,
+        force_batch: bool = False):
     from spectrogramgenai_tpu.serving import BatchingSampler, GenerationHTTPServer
 
     if artifact:
@@ -29,7 +30,8 @@ def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
         from spectrogramgenai_tpu.serving.export import load_artifact
 
         art = load_artifact(artifact)
-        batcher = BatchingSampler.from_artifact(art, max_delay_ms=max_delay_ms)
+        batcher = BatchingSampler.from_artifact(art, max_delay_ms=max_delay_ms,
+                                                force_batch=force_batch)
         serve_batch, sampler = art.num_labels, art.manifest["sampler"]
     else:
         from spectrogramgenai_tpu.cli.train_ddpm import load_vq_variables
@@ -48,7 +50,8 @@ def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
 
         batcher = BatchingSampler(task, state, batch_size=serve_batch,
                                   max_delay_ms=max_delay_ms, sampler=sampler,
-                                  num_steps=num_steps, use_ema=use_ema)
+                                  num_steps=num_steps, use_ema=use_ema,
+                                  force_batch=force_batch)
     if warmup:
         # compile the fixed-shape chain before accepting traffic
         print(f"serve: warming up ({sampler}, batch {serve_batch})…", flush=True)
@@ -89,6 +92,9 @@ def main(argv=None):
     p.add_argument("--artifact", default=None,
                    help="serve an exported StableHLO sampler (cli.export_model) "
                         "instead of a checkpoint; overrides batch/sampler args")
+    p.add_argument("--force_batch", action="store_true",
+                   help="override the measured-safe TPU label-batch bound "
+                        "(core/limits.py; ≥81 labels crashes the axon worker)")
     p.add_argument("--train_folder_for_classes", default=None)
     add_config_args(p, DDPMConfig)
     a = p.parse_args(argv)
@@ -104,7 +110,8 @@ def main(argv=None):
 
     run(cfg, port=a.port, host=a.host, serve_batch=a.serve_batch,
         max_delay_ms=a.max_delay_ms, sampler=a.sampler, num_steps=a.num_steps,
-        use_ema=bool(a.use_ema), class_names=class_names, artifact=a.artifact)
+        use_ema=bool(a.use_ema), class_names=class_names, artifact=a.artifact,
+        force_batch=a.force_batch)
 
 
 if __name__ == "__main__":

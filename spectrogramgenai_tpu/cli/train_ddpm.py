@@ -97,7 +97,11 @@ def run(cfg):
         if epoch % cfg.log_every_epoch == 0 or epoch == cfg.epochs - 1:
             _log_images(task, state, run_dir, epoch)
         if epoch % cfg.run.ckpt_every_epochs == 0 or epoch == cfg.epochs - 1:
-            ckpt.save(step_i, state)
+            saved_dir = ckpt.save(step_i, state)
+            # wandb Artifact parity (diff_modules.py:513-523); no-op w/o wandb
+            logger.log_artifact(saved_dir, name="model",
+                                description="Model weights for DDPM conditional",
+                                metadata={"epoch": epoch})
     print(f"done; checkpoints under models/{cfg.run.run_name}")
     return state
 

@@ -13,11 +13,30 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import jax
 import numpy as np
 from flax import serialization
+
+# Pre-r2 checkpoints used flax auto-generated module names for the UNet
+# self-attention blocks; they were later pinned to stable ``sa_{idx}`` names
+# (models/unet.py) because nn.remat renames the class (Checkpoint…), making
+# param keys differ between the remat'd (CPU) and non-remat'd (TPU) paths.
+# This one-time key migration lets old checkpoints restore into the new tree.
+_LEGACY_SA_KEY = re.compile(r"^(?:Checkpoint)?SpatialSelfAttention_(\d+)$")
+
+
+def _migrate_legacy_keys(tree):
+    """Recursively rename legacy auto-generated SA keys to the stable sa_N names."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for key, value in tree.items():
+        m = _LEGACY_SA_KEY.match(key) if isinstance(key, str) else None
+        out[f"sa_{m.group(1)}" if m else key] = _migrate_legacy_keys(value)
+    return out
 
 
 class CheckpointManager:
@@ -86,7 +105,8 @@ class CheckpointManager:
             path = self._step_dir(step)
         with open(os.path.join(path, "state.msgpack"), "rb") as f:
             payload = f.read()
-        restored = serialization.from_bytes(jax.device_get(target_state), payload)
+        raw = _migrate_legacy_keys(serialization.msgpack_restore(payload))
+        restored = serialization.from_state_dict(jax.device_get(target_state), raw)
         return jax.tree_util.tree_map(np.asarray, restored)
 
     def meta(self, step: int | None = None, best: bool = False) -> dict | None:

@@ -50,6 +50,21 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(scalars, step=step)
 
+    def log_artifact(self, path: str, name: str = "model", type: str = "model",
+                     description: str | None = None, metadata: dict | None = None) -> bool:
+        """Log a checkpoint directory/file as a wandb Artifact (reference
+        diff_modules.py:513-523). No-op (returns False) without wandb."""
+        if self._wandb is None:
+            return False
+        at = self._wandb.Artifact(name, type=type, description=description,
+                                  metadata=metadata or {})
+        if os.path.isdir(path):
+            at.add_dir(path)
+        else:
+            at.add_file(path)
+        self._wandb.log_artifact(at)
+        return True
+
     def log_csv_row(self, row: dict):
         """Append a row to the run CSV (reference-schema mirror)."""
         if self._csv_path is None:

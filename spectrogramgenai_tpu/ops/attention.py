@@ -19,9 +19,10 @@ Layout notes (the parts that matter on TPU):
     lane dimension; q stays (q_block, d) (one small padded block).
   * matmuls run in the INPUT dtype (bf16 on the sampling/training path →
     2× MXU throughput vs the old f32 upcast) with fp32 accumulation.
-  * softmax is VPU-lean: one fused scale+clamp+exp pass (clamp replaces
-    max-subtraction, see _fwd_kernel) + one reduce, normalization applied
-    to the small (QB, d) output instead of the (QB, N) probs. Measured on
+  * softmax is VPU-lean: a row-max reduce + one fused scale+subtract+exp
+    pass (exact for any logit magnitude, see _fwd_kernel) + one sum
+    reduce, normalization applied to the small (QB, d) output instead of
+    the (QB, N) probs. Measured on
     v5e this keeps the VPU fully hidden behind the MXU, whose
     output-tile-pass count is the kernel's hard floor at these head dims
     (d=16 fills only 16/128 of the contraction, an inherent 8× penalty —
@@ -43,13 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# exp over/underflow guard replacing softmax's max-subtraction (see
-# _fwd_kernel). Two-sided: +60 prevents f32 overflow; -60 keeps a
-# fully-negative row's denominator strictly positive (exp(-60)≈8.7e-27,
-# well above the f32 subnormal floor) so 0/0 NaNs cannot occur even for
-# pathological inputs.
-_EXP_CLAMP = 60.0
-
 # backward q-block cap for long sequences: the f32 scores/dP blocks are the
 # dominant VMEM tenants ((qb, N) each). 256 → 2×4 MB @ N=4096, measured
 # fastest that still compiles (512 exceeds VMEM; 128 is 2.6% slower).
@@ -57,20 +51,18 @@ _BWD_QB_CAP = 256
 
 
 def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
-    """softmax(q·kᵀ·scale)·v with ONE full-width VPU pass.
+    """softmax(q·kᵀ·scale)·v with a VPU-lean two-pass softmax.
 
     The naive jax.nn.softmax costs 5 elementwise/reduce passes over the
     (QB, N) scores; at N=4096 the VPU — not the MXU — dominates the kernel
     (measured: K≤256 matmuls are equally fast on the MXU, so the d=16
     contraction is not the constraint). Restructured to keep the VPU work to
-    a single fused pass:
-      * scale, over/underflow-clamp, exp, and the bf16 cast fuse into one
-        pass (the clamp at ±60 replaces max-subtraction: exp(60)≈1e26 and a
-        row sum of 4096 of them ≈4e29 both sit comfortably inside f32; the
-        -60 floor keeps the denominator positive even if a whole row
-        underflows. For any realistically-normalized q·k — LayerNorm'd here
-        — the clamp never binds, where softmax-with-max-sub is
-        bitwise-identical anyway);
+    two passes:
+      * a per-row max reduce, then scale, max-subtract, exp and the bf16
+        cast fused into one pass (the subtraction makes the softmax exact
+        for ANY logit magnitude — an earlier ±60 clamp variant silently
+        flattened rows whose max logit·scale exceeded 60 — and bounds the
+        denominator in [1, N], so 0/0 NaNs are structurally impossible);
       * the row denominator is a VPU reduction (an MXU ones-matmul was
         measured SLOWER — see the inline comment);
       * normalization moves onto the (QB, d) OUTPUT — P·V/r ≡ (P/r)·V by
@@ -79,8 +71,10 @@ def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
     q = q_ref[0]           # (QB, d) — input dtype straight to the MXU
     k_t = kt_ref[0]        # (d, N)
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)  # (QB, N) f32
-    # one fused VPU pass: scale·clamp·exp·cast
-    probs = jnp.exp(jnp.clip(scores * scale, -_EXP_CLAMP, _EXP_CLAMP)).astype(vt_ref.dtype)
+    # row max on raw scores (scale > 0 ⇒ max commutes with scaling)
+    rmax = jnp.max(scores, axis=-1, keepdims=True) * scale        # (QB, 1)
+    # one fused VPU pass: scale·subtract·exp·cast
+    probs = jnp.exp(scores * scale - rmax).astype(vt_ref.dtype)
     # row sums stay on the VPU: an MXU ones-matmul was measured SLOWER (its
     # (QB, 1) output wastes 127/128 lanes over a full-depth contraction —
     # as many tile-passes as the whole P·V matmul)
@@ -108,12 +102,14 @@ def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scal
     v_t = vt_ref[0]                     # (d, N)
     do = do_ref[0].astype(jnp.float32)  # (QB, d)
 
-    # Same VPU-lean softmax as the forward (scale+clamp+exp+cast in one
-    # pass, row sums on the MXU): P = p̃/r with p̃ unnormalized. All P-sized
-    # (QB, N) elementwise work below is 3 fused passes total; every 1/r
-    # normalization is folded into a (QB, ·)-sized operand instead.
+    # Same VPU-lean max-subtracted softmax as the forward: P = p̃/r with p̃
+    # unnormalized. The max shift cancels in every gradient term (softmax is
+    # shift-invariant), so this backward is the EXACT softmax VJP. All
+    # P-sized (QB, N) elementwise work below is 3 fused passes total; every
+    # 1/r normalization is folded into a (QB, ·)-sized operand instead.
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)
-    pt = jnp.exp(jnp.clip(scores * scale, -_EXP_CLAMP, _EXP_CLAMP)).astype(q.dtype)  # pass 1
+    rmax = jnp.max(scores, axis=-1, keepdims=True) * scale
+    pt = jnp.exp(scores * scale - rmax).astype(q.dtype)              # pass 1
     r = jnp.sum(pt.astype(jnp.float32), axis=-1, keepdims=True)      # (QB, 1)
     rinv = 1.0 / r
 

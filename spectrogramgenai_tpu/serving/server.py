@@ -66,8 +66,11 @@ class BatchingSampler:
 
     def __init__(self, task, state, *, batch_size: int = 27, max_delay_ms: float = 50.0,
                  sampler: str = "ddim", num_steps: int = 50, use_ema: bool = False,
-                 cfg_scale: float | None = None, seed: int = 0, artifact=None):
+                 cfg_scale: float | None = None, seed: int = 0, artifact=None,
+                 force_batch: bool = False):
         import jax
+
+        from spectrogramgenai_tpu.core.limits import check_sampling_label_batch
 
         self.task = task
         self.state = state
@@ -78,6 +81,9 @@ class BatchingSampler:
             num_steps = artifact.manifest["num_steps"]
             use_ema = artifact.manifest["use_ema"]
             cfg_scale = artifact.manifest["cfg_scale"]
+        # refuse worker-killing batches before anything compiles (an operator
+        # typo on --serve_batch must not cost ~10 min of chip downtime)
+        check_sampling_label_batch(int(batch_size), force=force_batch)
         self.batch_size = int(batch_size)
         self.max_delay_s = max_delay_ms / 1000.0
         self.sampler = sampler
@@ -95,10 +101,12 @@ class BatchingSampler:
         self._worker.start()
 
     @classmethod
-    def from_artifact(cls, artifact, *, max_delay_ms: float = 50.0, seed: int = 0):
+    def from_artifact(cls, artifact, *, max_delay_ms: float = 50.0, seed: int = 0,
+                      force_batch: bool = False):
         """Serve an exported StableHLO sampler (serving/export.py): the
         artifact fixes batch size, sampler type, steps, and CFG scale."""
-        return cls(None, None, artifact=artifact, max_delay_ms=max_delay_ms, seed=seed)
+        return cls(None, None, artifact=artifact, max_delay_ms=max_delay_ms, seed=seed,
+                   force_batch=force_batch)
 
     @property
     def num_classes(self) -> int:
@@ -195,11 +203,17 @@ class BatchingSampler:
 
 
 def _png_bytes(img: np.ndarray) -> bytes:
-    """uint8 (H, W, 1|3) → viridis/grayscale PNG bytes (same contract as
-    audio/export.save_generated_png, in-memory)."""
+    """uint8 (H, W, 1) or (H, W) → viridis RGBA PNG bytes — in-memory
+    equivalent of audio/export.save_generated_png (diff_modules.py:771-775),
+    so HTTP-served samples are pixel-compatible with the offline generate
+    CLI's output. Pre-colormapped (H, W, 3) input passes through unchanged."""
     from PIL import Image
 
+    from spectrogramgenai_tpu.audio.export import _viridis_rgba
+
     arr = img[..., 0] if img.ndim == 3 and img.shape[-1] == 1 else img
+    if arr.ndim == 2:  # grayscale sample → same viridis map as the CLI
+        arr = _viridis_rgba(arr.astype(np.float32) / 255.0)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()

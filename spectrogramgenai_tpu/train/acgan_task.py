@@ -121,9 +121,9 @@ class ACGANTask:
             )
             if cfg.use_aind:
                 validity, pred_label, aind_out = outs
-                # exact /3.0 as the reference divides (train_acgan.py:255-265), not *0.33
-                loss = (bce(validity, valid) + nll(pred_label, fake_labels)
-                        + jnp.mean((aind_out - a_ind) ** 2)) / 3.0
+                # literal 0.33 multiplier, matching train_acgan.py:259 exactly
+                loss = 0.33 * (bce(validity, valid) + nll(pred_label, fake_labels)
+                               + jnp.mean((aind_out - a_ind) ** 2))
             else:
                 validity, pred_label = outs
                 loss = 0.5 * (bce(validity, valid) + nll(pred_label, fake_labels))
@@ -149,8 +149,8 @@ class ACGANTask:
             if cfg.use_aind:
                 real_pred, real_aux, aind_r = outs_real
                 fake_pred, fake_aux, aind_f = outs_fake
-                d_real = (bce(real_pred, valid) + nll(real_aux, labels) + jnp.mean((aind_r - a_ind) ** 2)) / 3.0
-                d_fake = (bce(fake_pred, fake) + nll(fake_aux, fake_labels) + jnp.mean((aind_f - a_ind) ** 2)) / 3.0
+                d_real = 0.33 * (bce(real_pred, valid) + nll(real_aux, labels) + jnp.mean((aind_r - a_ind) ** 2))
+                d_fake = 0.33 * (bce(fake_pred, fake) + nll(fake_aux, fake_labels) + jnp.mean((aind_f - a_ind) ** 2))
             else:
                 real_pred, real_aux = outs_real
                 fake_pred, fake_aux = outs_fake

@@ -9,6 +9,8 @@ Evaluation streams logits into eval/classification.ClassificationMetrics
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -101,7 +103,7 @@ class ClassifierTask:
             merged_bs = {k: jnp.asarray(flat_pre_bs[k]) if k in flat_pre_bs and
                          flat_pre_bs[k].shape == v.shape else v for k, v in flat_bs.items()}
             new_vars["batch_stats"] = flax.traverse_util.unflatten_dict(merged_bs)
-        print(f"loaded {n_used} pretrained tensors from {path}")
+        logging.getLogger(__name__).info("loaded %d pretrained tensors from %s", n_used, path)
         return params, new_vars
 
     def _preprocess(self, images):

@@ -87,13 +87,36 @@ def test_fused_attention_rejects_nondivisible_n():
 
 
 def test_fused_attention_underflow_row_no_nan():
-    # a fully-underflowed score row (all q·kᵀ·scale « -60) must not produce
-    # 0/0 NaNs: the two-sided clamp floors the denominator at 4096·exp(-60)
+    # a uniformly huge-negative score row must not produce 0/0 NaNs: the
+    # max-subtracted softmax bounds the denominator in [1, N]
     n, d = 256, 16
     q = jnp.full((1, 1, n, d), 100.0)
-    k = jnp.full((1, 1, n, d), -100.0)  # scores = -d·10⁴·scale, far past -60
+    k = jnp.full((1, 1, n, d), -100.0)  # scores = -d·10⁴·scale
     v = jnp.ones((1, 1, n, d))
     out = fused_attention(q, k, v, q_block=128, interpret=INTERPRET)
     assert np.isfinite(np.asarray(out)).all()
-    # uniform (clamped) probs over a constant V row → output ≈ 1
+    # uniform probs over a constant V row → output ≈ 1
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-3)
+
+
+def test_fused_attention_large_logits_exact():
+    # logits whose max·scale far exceeds the old ±60 clamp: the
+    # max-subtracted softmax must still match the einsum reference
+    # (the clamp variant flattened such rows toward uniform), and the
+    # custom VJP must match autodiff in the same regime.
+    rng = np.random.default_rng(7)
+    b, h, n, d = 1, 2, 256, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)) * 30.0, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)) * 30.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    got = np.asarray(fused_attention(q, k, v, q_block=128, interpret=INTERPRET))
+    want = np.asarray(einsum_attention(q, k, v))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    w = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    got_g = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, q_block=128, interpret=INTERPRET) * w), argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(lambda q, k, v: jnp.sum(einsum_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got_g, want_g, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-3, err_msg=f"d{name}")

@@ -12,7 +12,7 @@ from spectrogramgenai_tpu.eval.classification import (
     macro_precision_recall_f1,
     top_k_accuracy,
 )
-from spectrogramgenai_tpu.train.classifier_task import ClassifierTask, cross_entropy, kd_loss
+from spectrogramgenai_tpu.train.classifier_task import ClassifierTask, kd_loss
 
 
 def test_metrics_against_sklearn():

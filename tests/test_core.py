@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
-from spectrogramgenai_tpu.core.config import DDPMConfig, add_config_args, apply_overrides, parse_config
+from spectrogramgenai_tpu.core.config import DDPMConfig, parse_config
 from spectrogramgenai_tpu.core.ema import ema_init, ema_update
 from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, local_batch_size
 from spectrogramgenai_tpu.core.metrics import MetricsLogger
@@ -33,6 +33,33 @@ def test_checkpoint_roundtrip(tmp_path):
 
     restored14 = mgr.restore(state, step=14)
     np.testing.assert_allclose(restored14["params"]["w"], np.arange(4.0) * 2)
+
+
+def test_checkpoint_legacy_sa_key_migration(tmp_path):
+    """Pre-r2 checkpoints used flax auto-generated SA module names
+    (SpatialSelfAttention_N / CheckpointSpatialSelfAttention_N under remat);
+    restore must migrate them into the stable sa_N tree."""
+    from flax import serialization
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    legacy = {"params": {
+        "SpatialSelfAttention_0": {"w": jnp.ones(3)},
+        "CheckpointSpatialSelfAttention_5": {"w": jnp.full(3, 2.0)},
+        "outc": {"kernel": jnp.zeros(2)},
+    }}
+    # write a checkpoint with the legacy key layout directly
+    mgr._write(mgr._step_dir(1), serialization.to_bytes(jax.device_get(legacy)),
+               {"step": 1, "metric": None})
+
+    target = {"params": {
+        "sa_0": {"w": jnp.zeros(3)},
+        "sa_5": {"w": jnp.zeros(3)},
+        "outc": {"kernel": jnp.ones(2)},
+    }}
+    restored = mgr.restore(target)
+    np.testing.assert_allclose(restored["params"]["sa_0"]["w"], 1.0)
+    np.testing.assert_allclose(restored["params"]["sa_5"]["w"], 2.0)
+    np.testing.assert_allclose(restored["params"]["outc"]["kernel"], 0.0)
 
 
 def test_config_overrides():
@@ -68,6 +95,45 @@ def test_metrics_logger(tmp_path):
     assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
     csv_lines = open(os.path.join(run_dir, "res.csv")).read().strip().splitlines()
     assert csv_lines[0] == "Epoch,Loss" and len(csv_lines) == 3
+
+
+def test_metrics_log_artifact(tmp_path, monkeypatch):
+    """Checkpoint-artifact upload (diff_modules.py:513-523 parity): no-op
+    without wandb; with a wandb module, one Artifact logged per call."""
+    import sys
+    import types
+
+    run_dir = str(tmp_path / "run")
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "state.msgpack").write_bytes(b"x")
+
+    with MetricsLogger(run_dir) as m:  # no wandb → no-op
+        assert m.log_artifact(str(ckpt_dir)) is False
+
+    logged = []
+
+    class FakeArtifact:
+        def __init__(self, name, type, description=None, metadata=None):
+            self.name, self.metadata = name, metadata
+            self.dirs, self.files = [], []
+
+        def add_dir(self, p):
+            self.dirs.append(p)
+
+        def add_file(self, p):
+            self.files.append(p)
+
+    fake = types.SimpleNamespace(
+        run=object(), init=lambda **kw: None, log=lambda *a, **kw: None,
+        finish=lambda: None, Artifact=FakeArtifact, log_artifact=logged.append)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    with MetricsLogger(run_dir, use_wandb=True) as m:
+        assert m.log_artifact(str(ckpt_dir), metadata={"epoch": 3}) is True
+        assert m.log_artifact(str(ckpt_dir / "state.msgpack")) is True
+    assert len(logged) == 2
+    assert logged[0].dirs == [str(ckpt_dir)] and logged[0].metadata == {"epoch": 3}
+    assert logged[1].files == [str(ckpt_dir / "state.msgpack")]
 
 
 def test_mesh_shapes():

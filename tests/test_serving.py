@@ -87,6 +87,9 @@ def test_http_server_generate_and_stats(tiny_task):
 
         img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
         assert img.size == (16, 16)
+        # served PNGs are viridis-colormapped, same contract as the
+        # offline generate CLI (audio/export.save_generated_png)
+        assert img.mode in ("RGB", "RGBA")
 
         # concurrent clients exercise the coalescing path through HTTP
         results = []
