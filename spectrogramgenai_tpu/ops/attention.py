@@ -37,6 +37,7 @@ over the sequential q-block grid axis.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -46,48 +47,103 @@ from jax.experimental.pallas import tpu as pltpu
 
 # backward q-block cap for long sequences: the f32 scores/dP blocks are the
 # dominant VMEM tenants ((qb, N) each). 256 → 2×4 MB @ N=4096, measured
-# fastest that still compiles (512 exceeds VMEM; 128 is 2.6% slower).
+# fastest (128 is 2.6% slower; 512 with a 48 MB VMEM limit compiles but
+# runs 15× SLOWER — 502 ms vs 34 ms grad at the 4096 site — the ~28 MB of
+# live (512, N) tensors leave no room to double-buffer the block pipeline).
 _BWD_QB_CAP = 256
 
+# Optimistic-softmax fast-path window (see _fwd_kernel). The speculative
+# exp clips scaled logits to [_CLIP_LO, _CLIP_HI]; acceptance is decided on
+# the ROW SUM r = Σ exp(clip(u)) — which both kernels get for free (the
+# forward from the ones-row column of the P·V matmul, the backward from the
+# denominator reduce it needs anyway) — via r ∈ [e^_SAFE_LO, e^_SAFE_HI]:
+#   * r < e^69 ⇒ every term < e^69, and since the row max m satisfies
+#     exp(clip(m)) ≤ r, clip(m) < 69 < _CLIP_HI ⇒ NO row hit the upper
+#     clip: the large side is exact.
+#   * r ≥ e^-40 ⇒ N·exp(clip(m)) ≥ r ⇒ m ≥ -40 − ln N ≈ -48.3 (N=4096),
+#     so the -80 floor's total contribution is ≤ N·e^(-80+48.3) ≈ 7e-11
+#     relative — far below the bf16 cast noise (2⁻⁸) already present in
+#     the probs on the fast path.
+#   * NaN scores fail both comparisons → fallback → NaN propagates.
+# Row sums stay finite on the speculative path: N·e^75 ≈ 1.5e36 < f32 max.
+# Earlier variants were measured SLOWER: an unconditional max-subtract
+# (+31%: exp then depends on a second full traversal) and a (QB, N) row-max
+# acceptance reduce (+12%: one extra full-width pass). The row-sum check
+# touches only the free (QB, 1) column.
+_CLIP_LO, _CLIP_HI = -80.0, 75.0
+_SAFE_LO, _SAFE_HI = -40.0, 69.0
+_R_SAFE_LO, _R_SAFE_HI = math.exp(_SAFE_LO), math.exp(_SAFE_HI)
 
-def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale: float):
-    """softmax(q·kᵀ·scale)·v with a VPU-lean two-pass softmax.
+
+def _fwd_kernel(q_ref, kt_ref, vta_ref, o_ref, *, scale: float):
+    """softmax(q·kᵀ·scale)·v — exact for any logits, ONE VPU pass in practice.
 
     The naive jax.nn.softmax costs 5 elementwise/reduce passes over the
     (QB, N) scores; at N=4096 the VPU — not the MXU — dominates the kernel
     (measured: K≤256 matmuls are equally fast on the MXU, so the d=16
-    contraction is not the constraint). Restructured to keep the VPU work to
-    two passes:
-      * a per-row max reduce, then scale, max-subtract, exp and the bf16
-        cast fused into one pass (the subtraction makes the softmax exact
-        for ANY logit magnitude — an earlier ±60 clamp variant silently
-        flattened rows whose max logit·scale exceeded 60 — and bounds the
-        denominator in [1, N], so 0/0 NaNs are structurally impossible);
-      * the row denominator is a VPU reduction (an MXU ones-matmul was
-        measured SLOWER — see the inline comment);
-      * normalization moves onto the (QB, d) OUTPUT — P·V/r ≡ (P/r)·V by
-        linearity — which is 128-256× smaller than the (QB, N) probs.
+    contraction is not the constraint; each extra full-width traversal of
+    the scores costs ~25-30% kernel time). Design:
+
+      * OPTIMISTIC single pass: exp(clip(u, -80, 75)) fused with scale and
+        the bf16 cast — ONE traversal of the scores, then straight into the
+        P·V matmul. An unconditional max-subtract variant was measured +31%
+        kernel time (the max forces a SECOND traversal because exp then
+        depends on it); a (QB, N) row-max acceptance reduce was +12%.
+      * the row denominator rides the P·V matmul FOR FREE: `vta` carries an
+        appended ones row, so the (QB, d+1) product's last column is
+        rowsum(P̃). The MXU output tile is lane-padded d→128 regardless, so
+        the extra column costs zero tile passes — unlike a SEPARATE ones-
+        matmul (measured slower: full-depth contraction for 1 useful lane).
+      * acceptance is decided on that free (QB, 1) denominator column
+        (see the _SAFE window proof above): inside the window the clipped
+        exp is provably undistorted. Only then is the speculative output
+        committed.
+      * EXACT FALLBACK: otherwise the block recomputes exp(u − rowmax) and
+        its matmul. Softmax is shift-invariant, so the result is exact for
+        ANY logit magnitude, and the fallback denominator lies in [1, N]:
+        overflow and 0/0 NaNs are impossible on either path. Realistic
+        (LayerNorm'd) attention never triggers the fallback; adversarial /
+        large-logit inputs get exactness instead of the silent flattening
+        of the earlier ±60-clamp kernel.
+      * normalization lands on the (QB, d) OUTPUT — P·V/r ≡ (P/r)·V by
+        linearity — 128-256× smaller than the (QB, N) probs.
     """
+    d = vta_ref.shape[1] - 1
     q = q_ref[0]           # (QB, d) — input dtype straight to the MXU
     k_t = kt_ref[0]        # (d, N)
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)  # (QB, N) f32
-    # row max on raw scores (scale > 0 ⇒ max commutes with scaling)
-    rmax = jnp.max(scores, axis=-1, keepdims=True) * scale        # (QB, 1)
-    # one fused VPU pass: scale·subtract·exp·cast
-    probs = jnp.exp(scores * scale - rmax).astype(vt_ref.dtype)
-    # row sums stay on the VPU: an MXU ones-matmul was measured SLOWER (its
-    # (QB, 1) output wastes 127/128 lanes over a full-depth contraction —
-    # as many tile-passes as the whole P·V matmul)
-    denom = jnp.sum(probs.astype(jnp.float32), axis=-1, keepdims=True)  # (QB, 1)
-    # (QB, N) · (d, N)ᵀ contraction over N; probs in the value dtype on the MXU
-    out = jax.lax.dot_general(
-        probs, vt_ref[0], (((1,), (1,)), ((), ())),
+    u = scores * scale
+    # speculative probs — the only full-width VPU pass on the fast path
+    probs = jnp.exp(jnp.clip(u, _CLIP_LO, _CLIP_HI)).astype(vta_ref.dtype)
+    out_r = jax.lax.dot_general(          # P·V and the denominator, one pass
+        probs, vta_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, :] = (out / denom).astype(o_ref.dtype)
+    denom = out_r[:, d:]                  # (QB, 1) rowsum(P̃), free
+    ok = jnp.all((denom >= _R_SAFE_LO) & (denom <= _R_SAFE_HI))
+
+    @pl.when(ok)
+    def _():
+        o_ref[0, :, :] = (out_r[:, :d] / denom).astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(ok))
+    def _():
+        # self-contained: recompute the scores instead of keeping `u` live
+        # across the branch — the fallback is ~never taken, and this keeps
+        # the fast path's VMEM high-water mark at ONE (QB, N) f32 tensor,
+        # which is what lets q_block=512 compile at N=4096
+        u2 = jnp.dot(q, k_t, preferred_element_type=jnp.float32) * scale
+        rmax = jnp.max(u2, axis=-1, keepdims=True)
+        exact = jnp.exp(jnp.maximum(u2 - rmax, _CLIP_LO)).astype(vta_ref.dtype)
+        out_e = jax.lax.dot_general(
+            exact, vta_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :] = (out_e[:, :d] / out_e[:, d:]).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scale: float):
+def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref,
+                pt_ref, rs_ref, *, scale: float):
     """One (bh, q-block) step of the flash-style backward.
 
     dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P));
@@ -102,16 +158,32 @@ def _bwd_kernel(q_ref, kt_ref, vt_ref, do_ref, dq_ref, dkt_ref, dvt_ref, *, scal
     v_t = vt_ref[0]                     # (d, N)
     do = do_ref[0].astype(jnp.float32)  # (QB, d)
 
-    # Same VPU-lean max-subtracted softmax as the forward: P = p̃/r with p̃
-    # unnormalized. The max shift cancels in every gradient term (softmax is
-    # shift-invariant), so this backward is the EXACT softmax VJP. All
-    # P-sized (QB, N) elementwise work below is 3 fused passes total; every
-    # 1/r normalization is folded into a (QB, ·)-sized operand instead.
+    # Same optimistic softmax as the forward (see _fwd_kernel): speculative
+    # clipped exp with the denominator reduce fused into the same traversal
+    # (the backward needs r anyway — here it doubles as the acceptance
+    # check), exact max-subtracted recompute into the pt/rs VMEM scratches
+    # only when a row sum leaves the safe window. The shift cancels in
+    # every gradient term (softmax is shift-invariant), so this backward is
+    # the EXACT softmax VJP on either path. P = p̃/r with p̃ unnormalized;
+    # all P-sized (QB, N) elementwise work below is 3 fused passes total,
+    # every 1/r normalization folded into a (QB, ·)-sized operand instead.
     scores = jnp.dot(q, k_t, preferred_element_type=jnp.float32)
-    rmax = jnp.max(scores, axis=-1, keepdims=True) * scale
-    pt = jnp.exp(scores * scale - rmax).astype(q.dtype)              # pass 1
-    r = jnp.sum(pt.astype(jnp.float32), axis=-1, keepdims=True)      # (QB, 1)
-    rinv = 1.0 / r
+    u = scores * scale
+    spec = jnp.exp(jnp.clip(u, _CLIP_LO, _CLIP_HI)).astype(q.dtype)
+    r_spec = jnp.sum(spec.astype(jnp.float32), axis=-1, keepdims=True)  # pass 1
+    pt_ref[...] = spec
+    rs_ref[...] = r_spec
+    ok = jnp.all((r_spec >= _R_SAFE_LO) & (r_spec <= _R_SAFE_HI))
+
+    @pl.when(jnp.logical_not(ok))
+    def _():
+        rmax = jnp.max(u, axis=-1, keepdims=True)
+        exact = jnp.exp(jnp.maximum(u - rmax, _CLIP_LO)).astype(q.dtype)
+        pt_ref[...] = exact
+        rs_ref[...] = jnp.sum(exact.astype(jnp.float32), axis=-1, keepdims=True)
+
+    pt = pt_ref[...]
+    rinv = 1.0 / rs_ref[...]                                          # (QB, 1)
 
     # dP = dO · V : (QB, d) × (d, N)
     dp = jnp.dot(do.astype(v_t.dtype), v_t, preferred_element_type=jnp.float32)
@@ -148,18 +220,26 @@ def _fwd_call(qf, kt, vt, *, q_block: int, interpret: bool):
     bh, n, d = qf.shape
     scale = 1.0 / (d**0.5)
     n_qb = n // q_block
+    # append a ones row to Vᵀ: the P·V matmul then also emits rowsum(P̃)
+    # (the softmax denominator) in its lane-padded output tile — see
+    # _fwd_kernel for why this is free
+    vta = jnp.concatenate([vt, jnp.ones((bh, 1, n), vt.dtype)], axis=1)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, n_qb),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d + 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), qf.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024,
+            # 32 MB (v5e VMEM is 128 MB/core): the exact-fallback branch's
+            # (QB, N) f32 tensors are not allocation-shared with the fast
+            # path's, so q_block=512 at N=4096 needs headroom past the 14 MB
+            # that the fast path alone would use
+            vmem_limit_bytes=32 * 1024 * 1024,
             # every (bh, q-block) step is independent → spread over both
             # v5e megacores
             dimension_semantics=("parallel", "parallel"),
@@ -170,7 +250,7 @@ def _fwd_call(qf, kt, vt, *, q_block: int, interpret: bool):
             transcendentals=bh * n * n,
         ),
         interpret=interpret,
-    )(qf, kt, vt)
+    )(qf, kt, vta)
 
 
 def _bwd_call(qf, kt, vt, do, *, q_block: int, interpret: bool):
@@ -199,6 +279,10 @@ def _bwd_call(qf, kt, vt, do, *, q_block: int, interpret: bool):
             jax.ShapeDtypeStruct((bh, d, n), jnp.float32),
             jax.ShapeDtypeStruct((bh, d, n), jnp.float32),
         ),
+        # p̃ and row-sum scratches: written by the speculative pass,
+        # conditionally overwritten by the exact fallback (see _bwd_kernel)
+        scratch_shapes=[pltpu.VMEM((qb, n), qf.dtype),
+                        pltpu.VMEM((qb, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=14 * 1024 * 1024,
             # the q-block axis accumulates into dK/dV → sequential
@@ -246,14 +330,20 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int | Non
     tensor — usable on the training path as well as sampling.
 
     q_block=None picks the measured-best block per sequence length
-    (tools/attn_microbench.py on v5e): 512 for long sequences — big blocks
-    amortize the per-block K/V revisit and keep the VPU exp pass hidden
-    behind the MXU — and 128 for short ones, where more grid parallelism
-    wins.
+    (tools/attn_microbench.py on v5e, 50-iter medians at sampling batch 54):
+    512 everywhere it divides — big blocks amortize the per-block K/V
+    revisit (N=4096: 13.6/12.3/11.8 ms for qb 128/256/512; N=1024:
+    2.2/1.7/1.6) — else the whole sequence for short ones (N=256: one
+    256-row block is 1.6× faster than two 128s).
     """
     b, h, n, d = q.shape
     if q_block is None:
-        q_block = 512 if (n >= 2048 and n % 512 == 0) else min(n, 128)
+        if n >= 1024 and n % 512 == 0:
+            q_block = 512
+        elif n % 256 == 0:
+            q_block = min(n, 256)
+        else:
+            q_block = min(n, 128)
     if n % q_block:
         raise ValueError(f"sequence length {n} not divisible by q_block {q_block}; "
                          "pad the token axis (the kernel grid would drop trailing tokens)")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=50):
     out = fn(*args)
     jax.tree_util.tree_map(lambda x: np.asarray(x[..., :1, :1]), out)  # sync
     t0 = time.perf_counter()
@@ -51,13 +51,33 @@ def main():
         v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
         flops = 4 * b * h * n * n * d  # 2 matmuls, 2 flops/MAC
 
-        for qb in (128, 256, 512):
+        for qb in (128, 256, 512, 1024):
             if n % qb:
                 continue
             f = jax.jit(functools.partial(fused_attention, q_block=qb))
-            dt = timeit(f, q, k, v)
+            try:
+                dt = timeit(f, q, k, v)
+            except Exception as e:  # e.g. VMEM OOM at big q_blocks — keep sweeping
+                print(f"fwd  B{b} H{h} N{n} d{d} qb{qb}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})")
+                continue
             print(f"fwd  B{b} H{h} N{n} d{d} qb{qb}: {dt*1e3:8.2f} ms  "
                   f"{flops/dt/1e12:6.2f} TF/s")
+
+        # einsum reference path (what SpatialSelfAttention uses when not
+        # fused) — decides where the fused gate should sit
+        def einsum_attn(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        if b * h * n * n * 4 < 2 << 30:  # skip where the f32 scores can't fit HBM
+            try:
+                dt = timeit(jax.jit(einsum_attn), q, k, v)
+                print(f"eins B{b} H{h} N{n} d{d}:          {dt*1e3:8.2f} ms  "
+                      f"{flops/dt/1e12:6.2f} TF/s")
+            except Exception as e:
+                print(f"eins B{b} H{h} N{n} d{d}: FAILED ({type(e).__name__})")
 
         if args.train:
             def loss(q, k, v):
