@@ -53,10 +53,15 @@ def _mfu(flops, seconds):
     return 100.0 * flops / seconds / V5E_BF16_PEAK_FLOPS
 
 
-def _time_train_step(step, state, *args, iters=5):
+def _time_train_step(step, state, *args, iters=20):
     """Mean seconds/step of a jitted `(state, *args) → (state, metrics)` step
     (1 warmup call, then `iters` timed; device-synced — see CLAUDE.md on why
-    block_until_ready is not enough through the axon tunnel)."""
+    block_until_ready is not enough through the axon tunnel).
+
+    iters=20: the tunnel's host-transfer sync costs ~30 ms per round trip
+    (measured; pipelined dispatch is ~1 ms), so the single end-of-loop sync
+    adds 30/iters ms to every step — at 5 iters that inflated sub-10-ms
+    steps by >50% and made small-model MFU numbers meaningless."""
     from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     state, m = step(state, *args)

@@ -8,6 +8,7 @@
 from __future__ import annotations
 
 import argparse
+import sys
 
 
 def main(argv=None):
@@ -28,6 +29,15 @@ def main(argv=None):
         bg, ev = load_embeddings(a.background_emb), load_embeddings(a.eval_emb)
         label = "precomputed embeddings"
     elif a.background_dir and a.eval_dir:
+        if a.mode == "mel":
+            print(
+                "WARNING: --mode mel is a framework-native embedding, NOT the "
+                "CLAP embedding the reference's FAD uses. Scores are only "
+                "meaningful relative to other mel-mode scores; for "
+                "reference-comparable FAD, provision CLAP weights "
+                "(tools/provision_eval_weights.py) and pass --mode clap.",
+                file=sys.stderr,
+            )
         bg = embeddings_for_dir(a.background_dir, a.mode, a.sample_rate, clap_ckpt=a.clap_ckpt)
         ev = embeddings_for_dir(a.eval_dir, a.mode, a.sample_rate, clap_ckpt=a.clap_ckpt)
         label = (f"{a.mode} embeddings" if a.mode == "clap"
