@@ -305,6 +305,9 @@ def _bench_classifier(batch=16, model_name="custom", capacity_batch=None):
     if capacity_batch:
         imgs_c = jnp.zeros((capacity_batch, 256, 256, 1), jnp.float32)
         labs_c = jnp.zeros((capacity_batch,), jnp.int32)
+        # the train step donates its state arg, so the batch-16 timing above
+        # consumed `state` — re-init for the capacity run
+        state = task.init_state(img_size=256, seed=0)
         flops_c = _flops_of(step, state, imgs_c, labs_c)
         dt_c = _time_train_step(step, state, imgs_c, labs_c)
         out[f"classifier_{model_name}_train_images_per_sec_per_chip_batch{capacity_batch}"] = (

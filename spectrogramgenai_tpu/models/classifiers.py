@@ -26,8 +26,10 @@ def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     oh, ow = out_hw
 
     def pool_axis(arr, size, out, axis):
-        starts = [int(jnp.floor(i * size / out)) for i in range(out)]
-        ends = [int(-(-(i + 1) * size // out)) for i in range(out)]
+        # pure-int window math (floor(i·size/out) ≡ i·size//out for i,size,out
+        # > 0): jnp.floor here would make the bounds tracers under jit
+        starts = [i * size // out for i in range(out)]
+        ends = [-(-(i + 1) * size // out) for i in range(out)]
         slices = [jnp.mean(jax.lax.slice_in_dim(arr, s, e, axis=axis), axis=axis, keepdims=True)
                   for s, e in zip(starts, ends)]
         return jnp.concatenate(slices, axis=axis)
@@ -80,6 +82,12 @@ class BasicBlock(nn.Module):
 class ResNet18(nn.Module):
     num_classes: int = 27
     dtype: jnp.dtype = jnp.float32
+    # stop_gradient at the trainable_mask boundary (layer4+fc train): torch's
+    # requires_grad=False means the reference never backprops through the
+    # frozen prefix (helpers.py:317-325); without this, JAX builds the full
+    # backward through the expensive early-high-resolution convs and the
+    # optax mask merely discards the result.
+    freeze_prefix: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,6 +98,8 @@ class ResNet18(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, feats in enumerate((64, 128, 256, 512)):
+            if stage == 3 and self.freeze_prefix:
+                x = jax.lax.stop_gradient(x)
             for block in range(2):
                 strides = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(feats, strides, dtype=dt, name=f"layer{stage + 1}_{block}")(x, train=train)
@@ -100,6 +110,7 @@ class ResNet18(nn.Module):
 class VGG16(nn.Module):
     num_classes: int = 27
     dtype: jnp.dtype = jnp.float32
+    freeze_prefix: bool = False  # stop_gradient before conv_11 (see ResNet18)
 
     # conv plan per block (torchvision vgg16 features)
     PLAN = ((64, 64), (128, 128), (256, 256, 256), (512, 512, 512), (512, 512, 512))
@@ -111,6 +122,8 @@ class VGG16(nn.Module):
         conv_idx = 0
         for block in self.PLAN:
             for feats in block:
+                if conv_idx == 11 and self.freeze_prefix:
+                    x = jax.lax.stop_gradient(x)
                 x = nn.relu(nn.Conv(feats, (3, 3), padding=1, dtype=dt, name=f"conv_{conv_idx}")(x))
                 conv_idx += 1
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -153,6 +166,7 @@ class InvertedResidual(nn.Module):
 class MobileNetV2(nn.Module):
     num_classes: int = 27
     dtype: jnp.dtype = jnp.float32
+    freeze_prefix: bool = False  # stop_gradient before features_17 (see ResNet18)
 
     # (expand t, out channels c, repeats n, stride s) — torchvision spec
     PLAN = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
@@ -168,6 +182,8 @@ class MobileNetV2(nn.Module):
         idx = 1
         for t, c, n, s in self.PLAN:
             for i in range(n):
+                if idx == 17 and self.freeze_prefix:
+                    x = jax.lax.stop_gradient(x)
                 x = InvertedResidual(c, s if i == 0 else 1, t, dtype=dt, name=f"features_{idx}")(x, train=train)
                 idx += 1
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=dt, name=f"features_{idx}")(x)
@@ -188,6 +204,7 @@ class EnsembleClassifier(nn.Module):
 
     num_classes: int = 27
     dtype: jnp.dtype = jnp.float32
+    freeze_prefix: bool = False  # stop_gradient on sub-model logits (see ResNet18)
 
     def setup(self):
         self.resnet = ResNet18(self.num_classes, dtype=self.dtype)
@@ -211,22 +228,30 @@ class EnsembleClassifier(nn.Module):
             ],
             axis=-1,
         )
+        if self.freeze_prefix:
+            # only the fusion head trains (Classifiers.py freeze_layers):
+            # XLA then never materializes the 4 backbones' backward
+            logits = jax.lax.stop_gradient(logits)
         return self.classifier(nn.relu(logits)).astype(jnp.float32)
 
 
-def build_classifier(model_name: str, num_classes: int, dtype=jnp.float32) -> nn.Module:
+def build_classifier(model_name: str, num_classes: int, dtype=jnp.float32,
+                     freeze_prefix: bool = False) -> nn.Module:
+    """freeze_prefix=True adds stop_gradient at each arch's trainable_mask
+    boundary — the torch requires_grad=False semantics (no backward through
+    the frozen prefix). Forward values are identical either way."""
     name = {"resnet": "resnet", "resnet18": "resnet", "vgg": "vgg", "vgg16": "vgg",
             "mobilenet": "mobilenet", "mobilenet_v2": "mobilenet",
             "custom": "custom", "ensemble": "ensemble"}[model_name]
     if name == "resnet":
-        return ResNet18(num_classes, dtype=dtype)
+        return ResNet18(num_classes, dtype=dtype, freeze_prefix=freeze_prefix)
     if name == "vgg":
-        return VGG16(num_classes, dtype=dtype)
+        return VGG16(num_classes, dtype=dtype, freeze_prefix=freeze_prefix)
     if name == "mobilenet":
-        return MobileNetV2(num_classes, dtype=dtype)
+        return MobileNetV2(num_classes, dtype=dtype, freeze_prefix=freeze_prefix)
     if name == "custom":
         return CustomCNN(num_classes, dtype=dtype)
-    return EnsembleClassifier(num_classes, dtype=dtype)
+    return EnsembleClassifier(num_classes, dtype=dtype, freeze_prefix=freeze_prefix)
 
 
 def trainable_mask(params, model_name: str):

@@ -40,7 +40,11 @@ class ClassifierTask:
         self.cfg = cfg
         self.mesh = mesh
         dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
-        self.model = build_classifier(cfg.model_name, cfg.num_classes, dtype=dt)
+        # freeze_prefix matches the optax trainable_mask applied below: the
+        # reference's requires_grad=False layers never get a backward pass
+        # (helpers.py:317-345), so neither should XLA build one
+        self.model = build_classifier(cfg.model_name, cfg.num_classes, dtype=dt,
+                                      freeze_prefix=True)
         self.n_channel = MODEL_CHANNELS.get(
             {"resnet18": "resnet", "vgg16": "vgg", "mobilenet_v2": "mobilenet"}.get(cfg.model_name, cfg.model_name),
             1,

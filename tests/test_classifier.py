@@ -146,3 +146,20 @@ def test_pretrained_weight_loading(tmp_path):
     assert np.allclose(stem, 0.123)
     head = np.asarray(state.params["fc"]["kernel"])
     assert head.shape[-1] == 5 and not np.allclose(head, 0.123)
+
+
+def test_vgg16_train_step_jits():
+    """Regression: adaptive_avg_pool's window bounds must be Python ints —
+    jnp.floor-derived bounds raise ConcretizationTypeError under jit (vgg16
+    and ensemble were never exercised through the jitted train step)."""
+    cfg = ClassifierConfig(model_name="vgg16", num_classes=5,
+                           data=DataConfig(batch_size=2, img_size=32),
+                           run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=32, seed=0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((2, 32, 32, 1), jnp.float32)
+    labs = jnp.zeros((2,), jnp.int32)
+    state, m = step(state, imgs, labs)
+    assert jnp.isfinite(jnp.asarray(list(m.values())[0])).all()
