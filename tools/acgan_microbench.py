@@ -23,15 +23,28 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, iters=10):
+def _sync(out):
+    """Block until `out`'s program finished, costing ONE tunnel round trip.
+
+    Two tunnel artifacts to avoid (each measured to swamp the numbers):
+    np.ravel(x) downloads the full tensor (~MB/s through the tunnel), and a
+    per-leaf fetch costs ~30 ms RTT each — a TrainState has hundreds of
+    leaves. All outputs of one executable become ready together, so fetching
+    one device-sliced element of the first leaf is a complete sync.
+    """
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(np.ravel(x)[:1]), out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(np.ravel(x)[:1]), out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -58,7 +71,9 @@ def main():
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
     task = ACGANTask(cfg, mesh)
     state = task.init_state(0)
-    step = task.make_train_step()
+    # non-donating jit of the same step: make_train_step donates the state,
+    # which a repeated-args timing loop would feed back after deletion
+    step = jax.jit(task._train_step)
     rng = np.random.default_rng(0)
 
     rows: dict[str, dict[int, float]] = {}
