@@ -116,12 +116,15 @@ def main(argv=None):
     p.add_argument("--skip_existing", type=int, default=1)
     p.add_argument("--save_npy", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--exact", type=int, default=1,
-                   help="1 = bit-parity mel math (default); 0 = ~1.7x faster bf16 MXU passes "
-                        "(<~2.5 dB error at the quietest bins)")
+    p.add_argument("--exact", default="1", choices=["0", "1", "high"],
+                   help="1 = bit-parity mel math (default); high = 3-pass MXU matmuls "
+                        "(near-exact, faster); 0 = 1-pass bf16, fastest "
+                        "(<~2.5 dB error at the quietest bins). "
+                        "Measured trade-offs: PARITY.md / tools/mel_precision_bench.py")
     a = p.parse_args(argv)
+    exact = {"0": False, "1": True, "high": "high"}[a.exact]
     run(a.manifest, a.wav_dir, a.out_dir, a.batch_size, bool(a.skip_existing), bool(a.save_npy), a.limit,
-        exact=bool(a.exact))
+        exact=exact)
 
 
 if __name__ == "__main__":

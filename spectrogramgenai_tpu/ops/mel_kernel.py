@@ -39,14 +39,42 @@ from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, power_to_d
 
 _LANE = 128
 
+# `exact` levels for the DFT/mel matmuls (static arg, so bool stays valid):
+#   True  → HIGHEST: 6-pass bf16 (f32-exact), the bit-parity default
+#   "high"→ hand-rolled 3-pass bf16 (bf16_3x): operands split into bf16
+#           hi/lo halves, a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi (the
+#           2^-16-relative lo·lo term dropped). Mosaic's dot lowering
+#           rejects lax.Precision.HIGH, so the splits are explicit: W
+#           matrices pre-split host-side (two bf16 halves = the same VMEM
+#           bytes as one f32), row blocks split in-kernel (cheap VPU).
+#   False → DEFAULT: 1-pass bf16, fastest, dB-scale error at quiet bins
+_PRECISION = {
+    True: jax.lax.Precision.HIGHEST,
+    False: jax.lax.Precision.DEFAULT,
+}
+
+
+def _split_bf16(a: np.ndarray) -> np.ndarray:
+    """(…, K, N) f32 → (…, 2K, N) bf16: rows [hi; lo], a ≈ hi + lo."""
+    import ml_dtypes
+
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.concatenate([hi, lo], axis=-2)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 @functools.lru_cache(maxsize=8)
-def _kernel_constants(cfg: SpectrogramConfig, freq_block: int):
-    """Padded, window-folded DFT matrices and the padded mel filterbank."""
+def _kernel_constants(cfg: SpectrogramConfig, freq_block: int, split: bool = False):
+    """Padded, window-folded DFT matrices and the padded mel filterbank.
+
+    split=True ("high" mode): DFT matrices come back as (2·n_fft, FB) bf16
+    stacks [hi; lo] and the filterbank as an (f_pad, 2·m_pad) bf16 stack
+    [hi | lo] — same VMEM bytes as the f32 originals.
+    """
     window = melmath.hann_window(cfg.n_fft)
     wc, ws = melmath.dft_matrices(cfg.n_fft, window, dtype=np.float32)
     n_bins = cfg.n_bins
@@ -57,6 +85,9 @@ def _kernel_constants(cfg: SpectrogramConfig, freq_block: int):
     fb = melmath.mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     m_pad = _round_up(cfg.n_mels, _LANE)
     fb_t = np.pad(fb.T, ((0, f_pad - n_bins), (0, m_pad - cfg.n_mels)))  # (f_pad, m_pad)
+    if split:
+        wc, ws = _split_bf16(wc), _split_bf16(ws)                 # (2·n_fft, f_pad)
+        fb_t = np.concatenate(np.split(_split_bf16(fb_t), 2, axis=0), axis=1)  # (f_pad, 2·m_pad)
     return wc, ws, fb_t
 
 
@@ -113,6 +144,66 @@ def _mel_kernel(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, s
         out_ref[0, :, :] = out_ref[0, :, :] + partial
 
 
+def _mel_kernel_3pass(rows_hbm, wc_ref, ws_ref, fbt_ref, out_ref, rows_vmem, sem, *, span, hop,
+                      t_pad, tail):
+    """"high"-precision variant: every matmul is 3 single-pass bf16 products
+    (bf16_3x, ~2^-16 relative error) instead of HIGHEST's 6 — see
+    _PRECISION. W refs carry [hi; lo] stacked on the row axis (so chunk q's
+    lo rows live at n_fft + q·hop); fbt carries [hi | lo] on the lane axis.
+    Row blocks and the power matrix are split in-kernel (two cheap VPU ops
+    on the small (t_pad, ·) operands)."""
+    i = pl.program_id(0)
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _load_rows():
+        dma = pltpu.make_async_copy(rows_hbm.at[i], rows_vmem, sem)
+        dma.start()
+        dma.wait()
+
+    n_fft = wc_ref.shape[0] // 2
+    freq_block = wc_ref.shape[1]
+    re = jnp.zeros((t_pad, freq_block), jnp.float32)
+    im = jnp.zeros((t_pad, freq_block), jnp.float32)
+    for q in range(span):
+        width = hop if q < span - 1 else tail
+        r = rows_vmem[pl.ds(q, t_pad), :width]
+        r_hi = r.astype(jnp.bfloat16)
+        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for w_ref, acc in ((wc_ref, 0), (ws_ref, 1)):
+            w_hi = w_ref[pl.ds(q * hop, width), :]
+            w_lo = w_ref[pl.ds(n_fft + q * hop, width), :]
+            part = (
+                jnp.dot(r_hi, w_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(r_hi, w_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(r_lo, w_hi, preferred_element_type=jnp.float32)
+            )
+            if acc == 0:
+                re = re + part
+            else:
+                im = im + part
+
+    power = re * re + im * im  # (t_pad, FB) f32
+    m_pad = fbt_ref.shape[1] // 2
+    fb_hi = fbt_ref[:, :m_pad]
+    fb_lo = fbt_ref[:, m_pad:]
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    partial = (
+        jnp.dot(p_hi, fb_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(p_hi, fb_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(p_lo, fb_hi, preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(f == 0)
+    def _init():
+        out_ref[0, :, :] = partial
+
+    @pl.when(f > 0)
+    def _acc():
+        out_ref[0, :, :] = out_ref[0, :, :] + partial
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "freq_block", "interpret", "exact"))
 def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 256, interpret: bool = False,
                     exact: bool = True):
@@ -135,20 +226,26 @@ def fused_mel_power(audio: jax.Array, cfg: SpectrogramConfig, freq_block: int = 
     x = jnp.pad(audio, ((0, 0), (pad, max(0, n_rows * hop - total) + pad)))
     rows = x[:, : n_rows * hop].reshape(b, n_rows, hop)
 
-    wc, ws, fb_t = _kernel_constants(cfg, freq_block)
+    split = exact == "high"
+    wc, ws, fb_t = _kernel_constants(cfg, freq_block, split=split)
     f_pad = wc.shape[1]
-    m_pad = fb_t.shape[1]
+    m_pad = fb_t.shape[1] // (2 if split else 1)
     n_fblocks = f_pad // freq_block
 
-    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    if split:
+        kernel = functools.partial(_mel_kernel_3pass, span=span, hop=hop, t_pad=t_pad, tail=tail)
+    else:
+        kernel = functools.partial(_mel_kernel, span=span, hop=hop, t_pad=t_pad, tail=tail,
+                                   precision=_PRECISION[exact])
+    w_rows = 2 * cfg.n_fft if split else cfg.n_fft
     out = pl.pallas_call(
-        functools.partial(_mel_kernel, span=span, hop=hop, t_pad=t_pad, tail=tail, precision=precision),
+        kernel,
         grid=(b, n_fblocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((cfg.n_fft, freq_block), lambda i, f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_fft, freq_block), lambda i, f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((freq_block, m_pad), lambda i, f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, freq_block), lambda i, f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, freq_block), lambda i, f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((freq_block, fb_t.shape[1]), lambda i, f: (f, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t_pad, m_pad), lambda i, f: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),

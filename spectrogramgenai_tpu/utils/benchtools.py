@@ -25,14 +25,21 @@ def device_sync(x) -> float:
     return total
 
 
-def timeit_device(fn, *args, iters: int = 10, warmup: int = 2):
-    """Median wall-clock seconds per call of fn(*args), properly synced."""
+def timeit_device(fn, *args, iters: int = 30, warmup: int = 2):
+    """Mean wall-clock seconds per call of fn(*args), properly synced.
+
+    Calls are PIPELINED with a single end-of-loop sync: through the axon
+    tunnel one device→host sync costs ~20-30 ms RTT while pipelined dispatch
+    is ~1 ms, so a per-iteration sync (the pre-r3 behavior) adds a ~30/1
+    artifact floor to every reported step — it undersold the fused mel
+    kernel ~2× (measured 43 vs ~21 ms/batch). The one remaining sync
+    amortizes to ~30/iters ms; keep iters ≥ 20 (CLAUDE.md timing rule).
+    """
     for _ in range(warmup):
         device_sync(fn(*args))
-    times = []
+    t0 = time.perf_counter()
+    r = None
     for _ in range(iters):
-        t0 = time.perf_counter()
         r = fn(*args)
-        device_sync(r)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    device_sync(r)
+    return (time.perf_counter() - t0) / iters

@@ -42,6 +42,23 @@ def test_fused_logmel_matches_reference_pipeline():
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_fused_logmel_high_precision_mode():
+    """exact="high" (3-pass MXU matmuls) must stay dB-accurate vs the oracle.
+
+    In interpret mode all precisions execute as f32, so this checks the
+    plumbing (static-arg dispatch, cache keying per level) everywhere and
+    the actual precision trade on TPU; PARITY.md records the measured TPU
+    error/throughput for all three levels (tools/mel_precision_bench.py).
+    """
+    cfg = SpectrogramConfig(sample_rate=22050)
+    audio = _audio(cfg, b=2, seed=3)
+    want = np.asarray(logmel_spectrogram(jnp.asarray(audio), cfg))
+    for exact, tol_db in ((True, 5e-3), ("high", 0.05), (False, 4.0)):
+        got = np.asarray(fused_logmel(jnp.asarray(audio), cfg, interpret=INTERPRET, exact=exact))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < tol_db, exact
+
+
 def test_fused_logmel_odd_length_audio():
     # Non-multiple-of-hop lengths must still work (padding path).
     cfg = SpectrogramConfig(sample_rate=22050)
