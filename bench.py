@@ -73,7 +73,7 @@ def _time_train_step(step, state, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def _bench_mel(cfg, batch=256, iters=10):
+def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing rule
     import jax
     import jax.numpy as jnp
 

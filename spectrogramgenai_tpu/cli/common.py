@@ -2,12 +2,17 @@
 
 from __future__ import annotations
 
+import logging
 import os
 
 
 def setup(run_cfg, debug_nans: bool = False):
     """Apply runtime config every trainer CLI wants.
 
+    - INFO-level logging (library modules report through logging, e.g. the
+      pretrained-weight load confirmation — without this the root logger's
+      WARNING default would swallow them; format mirrors the reference's
+      basicConfig, train_ddpm.py:40-44),
     - persistent compilation cache (the remote TPU compile service is slow;
       caching across runs matters),
     - optional jax NaN checking (SURVEY.md §5 "race detection / sanitizers"
@@ -15,6 +20,12 @@ def setup(run_cfg, debug_nans: bool = False):
     - host+JAX seeding.
     """
     import jax
+
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s: %(message)s",
+        level=logging.INFO,
+        datefmt="%I:%M:%S",
+    )
 
     try:
         jax.config.update("jax_compilation_cache_dir",

@@ -54,7 +54,6 @@ def make_mix_batches(noise_df, bird_df, sr: int, batch_size: int, seed: int, use
 
 
 def run(args):
-    import jax
 
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh, shard_batch

@@ -12,7 +12,6 @@ import numpy as np
 
 
 def run(cfg):
-    import jax
 
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
     from spectrogramgenai_tpu.core.config import VQVAEConfig

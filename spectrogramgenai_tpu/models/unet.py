@@ -17,7 +17,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from spectrogramgenai_tpu.models.layers import (

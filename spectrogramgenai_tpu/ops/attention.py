@@ -50,6 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 # fastest (128 is 2.6% slower; 512 with a 48 MB VMEM limit compiles but
 # runs 15× SLOWER — 502 ms vs 34 ms grad at the 4096 site — the ~28 MB of
 # live (512, N) tensors leave no room to double-buffer the block pipeline).
+# The cap deliberately applies only at N ≥ 2048: at N=1024 the (qb, N)
+# blocks are 4× smaller, and qb=512 there (what the fwd auto-select feeds
+# through) is measured FASTER than 256, not slower — grad at the 32×32 SA
+# training site (B32·H4, N=1024, d=32): 4.82/4.40/4.14/3.98 ms for qb
+# 128/256/512/1024, all within the 14 MB VMEM limit.
 _BWD_QB_CAP = 256
 
 # Optimistic-softmax fast-path window (see _fwd_kernel). The speculative

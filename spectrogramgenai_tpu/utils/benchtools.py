@@ -14,15 +14,22 @@ import numpy as np
 
 
 def device_sync(x) -> float:
-    """Force completion of `x` (pytree ok) via a scalar host fetch."""
+    """Force completion of `x` via ONE element-sized host fetch.
+
+    Tunnel artifacts this avoids (each measured to swamp timings):
+      * a per-leaf fetch costs ~20-30 ms RTT EACH — a 4-leaf metrics dict
+        cost ~120 ms per sync, a TrainState hundreds of RTTs (pre-r3 bug);
+      * np.asarray(full leaf) downloads the whole tensor (~MB/s tunnel).
+    All outputs of one executable become ready together, so fetching one
+    device-sliced element of the first array leaf is a complete sync for
+    the (universal here) case that `x` came out of a single jitted call.
+    """
     import jax
 
-    leaves = jax.tree_util.tree_leaves(x)
-    total = 0.0
-    for leaf in leaves:
+    for leaf in jax.tree_util.tree_leaves(x):
         if hasattr(leaf, "dtype"):
-            total += float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
-    return total
+            return float(np.asarray(jnp.ravel(leaf)[:1].astype(jnp.float32))[0])
+    return 0.0
 
 
 def timeit_device(fn, *args, iters: int = 30, warmup: int = 2):

@@ -3,7 +3,6 @@ power_to_db semantics, and jnp↔NumPy oracle agreement."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from spectrogramgenai_tpu.audio import (
     SpectrogramConfig,

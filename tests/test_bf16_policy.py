@@ -1,7 +1,6 @@
 """bf16 mixed-precision policy: bf16 compute, fp32 params, no GradScaler
 (SURVEY.md §2.5 rebuild table — replaces the reference's fp16 autocast)."""
 
-import dataclasses
 
 import numpy as np
 import jax

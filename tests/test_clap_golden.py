@@ -17,7 +17,6 @@ import torch
 
 sys.path.insert(0, "tools")
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from convert_clap import convert_clap_audio  # noqa: E402

@@ -13,7 +13,7 @@ from spectrogramgenai_tpu.audio.export import (
     save_spectrogram_png,
     spec_png_name,
 )
-from spectrogramgenai_tpu.audio.mix import midpoint_normalize, mix_waveforms, rescale_wav
+from spectrogramgenai_tpu.audio.mix import midpoint_normalize, mix_waveforms
 from spectrogramgenai_tpu.audio.wavio import fixed_window, load_wav, normalize_peak, slice_clip
 from spectrogramgenai_tpu.data.manifest import bootstrap_balance_indices
 from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, iterate_batches, synthetic_mix_dataframe

@@ -1,7 +1,6 @@
 """DDPM runtime tests on the 8-virtual-device CPU mesh: schedule parity,
 q-sample math, loss-decreases training, and the scan sampler."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

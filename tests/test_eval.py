@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from spectrogramgenai_tpu.eval.fad import fad_score
 from spectrogramgenai_tpu.eval.inception import (

@@ -8,7 +8,6 @@ import urllib.request
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from spectrogramgenai_tpu.core.config import DDPMConfig, RunConfig

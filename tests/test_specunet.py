@@ -41,7 +41,6 @@ def test_transformer_denoiser_forward_contract():
     # M4 direct: 256² → 5-conv stride-2 encoder → 64 tokens d=512 transformer
     # → transposed-conv decoder → tanh 1ch output, same spatial size
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from spectrogramgenai_tpu.models.denoiser import TransformerDenoiser

@@ -23,29 +23,9 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _sync(out):
-    """Block until `out`'s program finished, costing ONE tunnel round trip.
-
-    Two tunnel artifacts to avoid (each measured to swamp the numbers):
-    np.ravel(x) downloads the full tensor (~MB/s through the tunnel), and a
-    per-leaf fetch costs ~30 ms RTT each — a TrainState has hundreds of
-    leaves. All outputs of one executable become ready together, so fetching
-    one device-sliced element of the first leaf is a complete sync.
-    """
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[:1])
-
-
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+# single-leaf sync + pipelined timing live in ONE place now; r3 fixed the
+# same tunnel artifact in three hand-rolled copies of this loop
+from spectrogramgenai_tpu.utils.benchtools import timeit_device as timeit  # noqa: E402
 
 
 def main():

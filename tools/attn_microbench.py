@@ -20,14 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import sys
+
+sys.path.insert(0, ".")
+from spectrogramgenai_tpu.utils.benchtools import timeit_device  # noqa: E402
+
+
 def timeit(fn, *args, iters=50):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x[..., :1, :1]), out)  # sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x[..., :1, :1]), out)
-    return (time.perf_counter() - t0) / iters
+    return timeit_device(fn, *args, iters=iters)
 
 
 def main():

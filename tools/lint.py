@@ -54,13 +54,18 @@ def _unused_imports(tree: ast.Module, src: str, path: pathlib.Path) -> list[str]
             for a in node.names:
                 imported[(a.asname or a.name).split(".")[0]] = node.lineno
         elif isinstance(node, ast.ImportFrom):
+            if node.module == "__future__":  # compiler directive, never "used"
+                continue
             for a in node.names:
                 if a.name != "*":
                     imported[a.asname or a.name] = node.lineno
     used = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
     used |= {n.attr for n in ast.walk(tree) if isinstance(n, ast.Attribute)}
-    # names referenced in __all__ / docstring-driven re-exports count as used
-    used |= set(src.split())
+    # names re-exported via __all__ string literals count as used (NOT the
+    # whole source text — that would include the import lines themselves and
+    # make this check vacuous)
+    used |= {c.value for c in ast.walk(tree)
+             if isinstance(c, ast.Constant) and isinstance(c.value, str)}
     return [f"{path}:{line}: unused import '{name}'"
             for name, line in imported.items() if name not in used]
 

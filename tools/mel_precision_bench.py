@@ -12,7 +12,6 @@ Run from the repo root: python tools/mel_precision_bench.py
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -57,20 +56,14 @@ def main() -> None:
 
     oracle = np.stack([reference_logmel_np(a, cfg) for a in audio_np])
 
+    from spectrogramgenai_tpu.utils.benchtools import timeit_device
+
     for exact in (True, "high", False):
         fn = jax.jit(lambda x, e=exact: fused_logmel(x, cfg, exact=e))
         out = np.asarray(fn(audio))
         err = np.abs(out - oracle).max()
 
-        # throughput: pipelined dispatch, one sync (tunnel-RTT rule)
-        iters = 30
-        np.asarray(fn(audio))[:1, :1, :1]
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = fn(audio)
-        np.asarray(r[:1, :1, :1])
-        dt = (time.perf_counter() - t0) / iters
+        dt = timeit_device(fn, audio, iters=30)
         print(f"exact={exact!r:8}: max_err={err:.6f} dB  "
               f"{batch / dt:8.1f} specs/s  ({dt * 1e3:6.2f} ms/batch{batch})")
 

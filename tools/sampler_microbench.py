@@ -31,22 +31,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, iters=10):
-    import jax
-
-    def sync(out):
-        # one device-sliced element of ONE leaf: outputs of an executable
-        # become ready together, and every extra leaf fetch costs a ~30 ms
-        # tunnel round trip inside the timed window
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-
-    out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+from spectrogramgenai_tpu.utils.benchtools import timeit_device as timeit  # noqa: E402
 
 
 def main():
