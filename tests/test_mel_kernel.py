@@ -59,6 +59,27 @@ def test_fused_logmel_high_precision_mode():
         assert np.abs(got - want).max() < tol_db, exact
 
 
+def test_fused_logmel_long_clip():
+    """Arbitrary-length audio streams through the kernel (SURVEY §5: the
+    'long-context' answer is batched framing, not ring attention) — a 30 s
+    clip yields the full frame count and still matches the jnp oracle."""
+    cfg = SpectrogramConfig(sample_rate=22050)
+    rng = np.random.default_rng(7)
+    n = 30 * cfg.sample_rate
+    t = np.arange(n) / cfg.sample_rate
+    audio = (np.sin(2 * np.pi * 900 * t) * np.exp(-0.05 * t)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)[None]
+    # the uncropped kernel output carries every frame of the 30 s clip…
+    power = np.asarray(fused_mel_power(jnp.asarray(audio), cfg, interpret=INTERPRET))
+    assert power.shape == (1, cfg.frames_for(n), cfg.n_mels)
+    assert cfg.frames_for(n) > 4 * cfg.num_frames
+    # …and the dB pipeline applies the reference's first-256-frames crop
+    got = np.asarray(fused_logmel(jnp.asarray(audio), cfg, interpret=INTERPRET))
+    want = np.asarray(logmel_spectrogram(jnp.asarray(audio), cfg))
+    assert got.shape == want.shape == (1, cfg.n_mels, cfg.num_frames)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_fused_logmel_odd_length_audio():
     # Non-multiple-of-hop lengths must still work (padding path).
     cfg = SpectrogramConfig(sample_rate=22050)
