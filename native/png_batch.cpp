@@ -262,7 +262,8 @@ void put_chunk(std::vector<uint8_t>* out, const char type[4],
     put_be32(out, crc);
 }
 
-bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
+bool encode_rgb_mem(const uint8_t* rgb, int h, int w, int level,
+                    std::vector<uint8_t>* png) {
     const size_t row = size_t(w) * 3;
     // Sub-filtered scanlines: filter byte 1 + per-byte left delta
     std::vector<uint8_t> raw((row + 1) * size_t(h));
@@ -281,10 +282,10 @@ bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
         return false;
     deflated.resize(bound);
 
-    std::vector<uint8_t> png;
-    png.reserve(deflated.size() + 128);
+    png->clear();
+    png->reserve(deflated.size() + 128);
     static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
-    png.insert(png.end(), sig, sig + 8);
+    png->insert(png->end(), sig, sig + 8);
     uint8_t ihdr[13];
     ihdr[0] = uint8_t(uint32_t(w) >> 24); ihdr[1] = uint8_t(uint32_t(w) >> 16);
     ihdr[2] = uint8_t(uint32_t(w) >> 8);  ihdr[3] = uint8_t(w);
@@ -293,10 +294,15 @@ bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
     ihdr[8] = 8;   // bit depth
     ihdr[9] = 2;   // color type RGB
     ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
-    put_chunk(&png, "IHDR", ihdr, sizeof(ihdr));
-    put_chunk(&png, "IDAT", deflated.data(), deflated.size());
-    put_chunk(&png, "IEND", nullptr, 0);
+    put_chunk(png, "IHDR", ihdr, sizeof(ihdr));
+    put_chunk(png, "IDAT", deflated.data(), deflated.size());
+    put_chunk(png, "IEND", nullptr, 0);
+    return true;
+}
 
+bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
+    std::vector<uint8_t> png;
+    if (!encode_rgb_mem(rgb, h, w, level, &png)) return false;
     FILE* f = fopen(path, "wb");
     if (!f) return false;
     bool okw = fwrite(png.data(), 1, png.size(), f) == png.size();
@@ -305,6 +311,44 @@ bool encode_rgb(const char* path, const uint8_t* rgb, int h, int w, int level) {
 }
 
 }  // namespace
+
+// In-memory variant for the serving path: encode [n, H, W, 3] uint8 images
+// into a caller-owned [n, capacity] byte buffer. out_lens[i] = encoded byte
+// count, or -1 on failure / overflow (caller falls back to PIL for that row).
+// Capacity must be >= compressBound(h*(3w+1)) + 128; the Python wrapper
+// computes this. Avoids one file round-trip per HTTP response image.
+extern "C" int png_batch_encode_rgb(const unsigned char* rgb, int n, int h, int w,
+                                    unsigned char* out, long capacity,
+                                    long* out_lens, int num_threads, int level) {
+    if (n <= 0) return 0;
+    if (level < 0 || level > 9) level = 3;
+    std::atomic<int> next(0), good(0);
+    int workers = num_threads > 0 ? (num_threads < n ? num_threads : n) : 1;
+    const size_t img = size_t(h) * w * 3;
+    auto run = [&]() {
+        std::vector<uint8_t> png;
+        for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+            bool success = encode_rgb_mem(rgb + size_t(i) * img, h, w, level, &png) &&
+                           long(png.size()) <= capacity;
+            if (success) {
+                memcpy(out + size_t(i) * capacity, png.data(), png.size());
+                out_lens[i] = long(png.size());
+                good.fetch_add(1);
+            } else {
+                out_lens[i] = -1;
+            }
+        }
+    };
+    if (workers == 1) {
+        run();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(workers);
+        for (int t = 0; t < workers; ++t) pool.emplace_back(run);
+        for (auto& t : pool) t.join();
+    }
+    return good.load();
+}
 
 extern "C" int png_batch_save_rgb(const char** paths, int n, const unsigned char* rgb,
                                   int h, int w, unsigned char* ok, int num_threads,

@@ -97,6 +97,35 @@ def save_generated_png(img_uint8: np.ndarray, path: str) -> None:
     Image.fromarray(_viridis_rgba(img01)).save(path)
 
 
+def save_generated_pngs(imgs_uint8: np.ndarray, paths: list[str],
+                        num_threads: int = 8) -> None:
+    """Batch variant of save_generated_png for the generate CLI's per-chain
+    write-out (27+ images at once): viridis LUT + native C++ thread-pool
+    encoder instead of per-image PIL (~5× on 1-core hosts, more with cores).
+    Pixel-equivalent RGB output (viridis alpha ≡ 255); PIL fallback per image.
+    """
+    imgs = np.asarray(imgs_uint8)
+    if imgs.ndim == 4 and imgs.shape[-1] == 1:
+        imgs = imgs[..., 0]
+    n = imgs.shape[0]
+    if n == 0:
+        return
+    for p in paths:
+        d = os.path.dirname(p)
+        if d:
+            os.makedirs(d, exist_ok=True)
+    # LUT index = the uint8 value exactly: clip(int(v/255·256)) == v (see
+    # _viridis_lut docstring) — bit-matches save_generated_png's colormap.
+    rgb = np.ascontiguousarray(_viridis_lut()[imgs.astype(np.int32)])
+
+    from spectrogramgenai_tpu.data.native_png import save_png_batch_rgb
+
+    ok = save_png_batch_rgb(rgb, paths, num_threads=num_threads)
+    for i in range(n):
+        if not ok[i]:
+            Image.fromarray(rgb[i]).save(paths[i])
+
+
 def save_spectrogram_npy(spec: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path, spec.astype(np.float32))

@@ -25,7 +25,7 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
     import jax
     import jax.numpy as jnp
 
-    from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.audio.export import save_generated_pngs
     from spectrogramgenai_tpu.core.checkpoint import CheckpointManager
     from spectrogramgenai_tpu.core.limits import check_sampling_label_batch
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
@@ -69,11 +69,12 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
         imgs = np.asarray(task.sample(state, jax.random.PRNGKey(samp_i), big_labels,
                                       use_ema=use_ema, sampler=sampler, num_steps=num_steps))
         n = labels.shape[0]
-        for r in range(k):
-            block = imgs[r * n : (r + 1) * n]
-            for i, (lab, img) in enumerate(zip(np.asarray(labels), block)):
-                name = f"{class_names[lab]}_gen_imgs_{i}_{samp_i + r}.png"
-                save_generated_png(img, os.path.join(img_folder, name))
+        out_paths = [
+            os.path.join(img_folder, f"{class_names[lab]}_gen_imgs_{i}_{samp_i + r}.png")
+            for r in range(k)
+            for i, lab in enumerate(np.asarray(labels))
+        ]
+        save_generated_pngs(imgs[: k * n], out_paths)
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * n} images")
         samp_i += k
         remaining -= k
@@ -85,7 +86,7 @@ def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
     checkpoint, config, or model code; the artifact froze sampler/steps/CFG.
     Its label batch must be k·num_classes so the per-class naming contract
     ({class}_gen_imgs_{i}_{samp}.png) holds."""
-    from spectrogramgenai_tpu.audio.export import save_generated_png
+    from spectrogramgenai_tpu.audio.export import save_generated_pngs
     from spectrogramgenai_tpu.core.limits import check_sampling_label_batch
     from spectrogramgenai_tpu.serving.export import load_artifact
 
@@ -106,11 +107,12 @@ def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
     while remaining > 0:
         k = min(rounds_per_chain, remaining)
         imgs = art(samp_i, labels)
-        for r in range(k):
-            block = imgs[r * ncls : (r + 1) * ncls]
-            for i, img in enumerate(block):
-                name = f"{class_names[i]}_gen_imgs_{i}_{samp_i + r}.png"
-                save_generated_png(img, os.path.join(img_folder, name))
+        out_paths = [
+            os.path.join(img_folder, f"{class_names[i]}_gen_imgs_{i}_{samp_i + r}.png")
+            for r in range(k)
+            for i in range(ncls)
+        ]
+        save_generated_pngs(np.asarray(imgs)[: k * ncls], out_paths)
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * ncls} images")
         samp_i += k
         remaining -= k

@@ -101,6 +101,47 @@ def _get_save_fn():
     return lib.png_batch_save_rgb
 
 
+def _get_encode_fn():
+    lib = _get_lib()
+    if lib is None or _get_save_fn() is None:  # save-fn getter handles rebuilds
+        return None
+    lib = _lib  # may have been reloaded by _get_save_fn
+    if not hasattr(lib, "png_batch_encode_rgb"):
+        return None
+    lib.png_batch_encode_rgb.restype = ctypes.c_int
+    lib.png_batch_encode_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+    ]
+    return lib.png_batch_encode_rgb
+
+
+def encode_png_batch_rgb(rgb: np.ndarray, num_threads: int = 8,
+                         level: int = 3) -> list[bytes] | None:
+    """Encode [n, H, W, 3] uint8 → list of in-memory RGB PNG byte strings
+    (serving hot path — no file round-trip). Returns None if the native
+    library is unavailable or any row failed (caller falls back to PIL)."""
+    assert rgb.ndim == 4 and rgb.shape[-1] == 3 and rgb.dtype == np.uint8
+    n, h, w = rgb.shape[:3]
+    fn = _get_encode_fn()
+    if fn is None or n == 0:
+        return None if fn is None else []
+    # zlib worst case for the Sub-filtered scanlines + PNG framing headroom
+    raw = h * (3 * w + 1)
+    capacity = raw + raw // 1000 + 64 + 128
+    out = np.empty((n, capacity), np.uint8)
+    lens = np.empty(n, np.int64)
+    rgb = np.ascontiguousarray(rgb)
+    good = fn(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n, h, w,
+              out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), capacity,
+              lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+              num_threads, level)
+    if good != n:
+        return None
+    return [out[i, : lens[i]].tobytes() for i in range(n)]
+
+
 def save_png_batch_rgb(rgb: np.ndarray, paths: list[str], num_threads: int = 8,
                        level: int = 3) -> np.ndarray:
     """Write [n, H, W, 3] uint8 images as RGB PNGs (Sub filter, zlib `level`)

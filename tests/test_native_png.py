@@ -146,3 +146,68 @@ def test_native_png_encoder_roundtrips_through_native_decoder(tmp_path):
     for i in range(3):
         pil = np.asarray(Image.open(paths[i]).convert("L"))
         np.testing.assert_array_equal(gray[i], pil)
+
+
+def test_in_memory_batch_encode_matches_file_encoder_and_pil(tmp_path):
+    # serving hot path: png_batch_encode_rgb's in-memory bytes must decode
+    # (via PIL) to the exact input pixels, for several image sizes
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from spectrogramgenai_tpu.data.native_png import encode_png_batch_rgb, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(2)
+    for h, w in ((32, 40), (256, 256)):
+        rgb = rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)
+        encoded = encode_png_batch_rgb(rgb, num_threads=2)
+        if encoded is None:
+            pytest.skip("in-memory encoder unavailable (stale prebuilt library)")
+        assert len(encoded) == 4
+        for i, blob in enumerate(encoded):
+            back = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+            np.testing.assert_array_equal(back, rgb[i])
+
+
+def test_serving_batch_png_matches_per_image_path():
+    # _png_bytes_batch (native RGB) and _png_bytes (PIL RGBA) must agree on
+    # the viridis RGB pixels and on the grayscale training read-back
+    import io
+
+    from PIL import Image
+
+    from spectrogramgenai_tpu.serving.server import _png_bytes, _png_bytes_batch
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (3, 32, 40, 1), dtype=np.uint8)
+    batch = _png_bytes_batch(imgs)
+    assert len(batch) == 3
+    for i, blob in enumerate(batch):
+        got = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        ref = np.asarray(Image.open(io.BytesIO(_png_bytes(imgs[i]))).convert("RGB"))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_save_generated_pngs_matches_single_image_path(tmp_path):
+    # generate CLI's batch write-out must match save_generated_png pixel-for-
+    # pixel on both the RGB planes and the grayscale training read-back
+    from PIL import Image
+
+    from spectrogramgenai_tpu.audio.export import save_generated_png, save_generated_pngs
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (3, 32, 40, 1), dtype=np.uint8)
+    batch_paths = [str(tmp_path / f"b{i}.png") for i in range(3)]
+    save_generated_pngs(imgs, batch_paths)
+    for i in range(3):
+        ref_path = str(tmp_path / f"s{i}.png")
+        save_generated_png(imgs[i], ref_path)
+        got = np.asarray(Image.open(batch_paths[i]).convert("RGB"))
+        ref = np.asarray(Image.open(ref_path).convert("RGB"))
+        np.testing.assert_array_equal(got, ref)
+        got_l = np.asarray(Image.open(batch_paths[i]).convert("L"))
+        ref_l = np.asarray(Image.open(ref_path).convert("L"))
+        np.testing.assert_array_equal(got_l, ref_l)
