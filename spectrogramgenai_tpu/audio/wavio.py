@@ -67,3 +67,12 @@ def fixed_window(wav: np.ndarray, sr: int, start_s: float, num_samples: int) -> 
         reps = num_samples // max(1, len(clip)) + 1
         clip = np.tile(clip, reps)[:num_samples]
     return normalize_peak(clip)
+
+
+def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    """Write mono float [-1,1] → 16-bit PCM WAV (clipping out-of-range)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0) * 32767.0).astype(np.int16)
+    wavfile.write(path, int(sr), pcm)

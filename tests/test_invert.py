@@ -1,0 +1,141 @@
+"""Spectrogram→audio inversion (audio/invert.py, cli/spec_to_wav.py).
+
+Capability the reference lacks entirely (its FAD scores audio dirs,
+reference src/fad.py:11-24, but generation emits PNGs) — so these tests pin
+self-consistency: ISTFT inverts the forward STFT, NNLS inverts the mel
+projection, and the full chain reproduces the input's log-mel spectrogram.
+"""
+
+import numpy as np
+import pytest
+
+from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
+
+CFG = SpectrogramConfig(sample_rate=8000, n_fft=512, hop_length=128, n_mels=64,
+                        num_frames=60, clip_seconds=1.0)
+
+
+def _tone_batch():
+    rng = np.random.default_rng(0)
+    t = np.arange(CFG.sample_rate) / CFG.sample_rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 950 * t)
+         + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    return np.stack([x, x[::-1]])
+
+
+def test_istft_inverts_stft():
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import istft, stft_complex
+
+    xb = _tone_batch()
+    back = np.asarray(istft(stft_complex(jnp.asarray(xb), CFG), CFG, length=xb.shape[1]))
+    # interior exact; the first/last half-window lack full overlap coverage
+    edge = CFG.n_fft // 2
+    np.testing.assert_allclose(back[:, edge:-edge], xb[:, edge:-edge], atol=1e-5)
+
+
+def test_mel_nnls_inverse_reprojects():
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import mel_power_to_stft_power
+    from spectrogramgenai_tpu.audio.spectrogram import _constants, stft_power
+
+    xb = _tone_batch()
+    power = np.asarray(stft_power(jnp.asarray(xb), CFG))  # (B, T, F)
+    _, fb = _constants(CFG)
+    mel = np.einsum("mf,btf->bmt", fb, power)
+
+    inv = np.asarray(mel_power_to_stft_power(jnp.asarray(mel), CFG, n_iter=48))
+    assert inv.shape == power.shape
+    assert (inv >= 0).all()
+    remel = np.einsum("mf,btf->bmt", fb, inv)
+    # the NNLS solution must reproject onto the observed mel energies
+    rel = np.abs(remel - mel).sum() / mel.sum()
+    assert rel < 0.005, rel  # FISTA @ 48 iters measures ~6e-4
+
+
+def test_griffin_lim_recovers_tone_magnitudes():
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import griffin_lim, stft_complex
+
+    xb = _tone_batch()
+    mag = jnp.abs(stft_complex(jnp.asarray(xb), CFG))
+    wav = np.asarray(griffin_lim(mag, CFG, n_iter=24))
+    assert np.isfinite(wav).all()
+    remag = np.asarray(jnp.abs(stft_complex(jnp.asarray(wav), CFG)))[:, : mag.shape[1]]
+    mag = np.asarray(mag)[:, : remag.shape[1]]
+    corr = np.corrcoef(mag.ravel(), remag.ravel())[0, 1]
+    assert corr > 0.97, corr
+
+
+def test_db_mel_to_audio_roundtrips_spectrogram():
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import db_mel_to_audio
+
+    xb = _tone_batch()
+    db = logmel_spectrogram(jnp.asarray(xb), CFG)
+    wav = np.asarray(db_mel_to_audio(db, CFG, gl_iters=16, nnls_iters=24))
+    assert wav.shape[1] == (db.shape[-1] - 1) * CFG.hop_length
+    assert np.abs(wav).max() <= 1.0 + 1e-6  # peak-normalized
+
+    db2 = np.asarray(logmel_spectrogram(jnp.asarray(wav), CFG))[..., : db.shape[-1]]
+    db1 = np.asarray(db)[..., : db2.shape[-1]]
+    mae = np.abs(db1 - db2).mean()
+    corr = np.corrcoef(db1.ravel(), db2.ravel())[0, 1]
+    assert mae < 3.0, mae       # dB — reconstruction preserves the spectrogram
+    assert corr > 0.9, corr
+
+
+def test_spec_to_wav_cli_png_and_npy(tmp_path):
+    import jax.numpy as jnp
+    from scipy.io import wavfile
+
+    from spectrogramgenai_tpu.audio.export import save_generated_png, save_spectrogram_npy
+    from spectrogramgenai_tpu.cli import spec_to_wav
+
+    xb = _tone_batch()
+    db = np.asarray(logmel_spectrogram(jnp.asarray(xb), CFG))
+    in_dir = tmp_path / "specs"
+    in_dir.mkdir()
+    # PNG input: the generated-sample uint8 contract (dB scaled to [0,255])
+    img = np.clip((db[0] + CFG.top_db) / CFG.top_db * 255.0, 0, 255).astype(np.uint8)
+    save_generated_png(img, str(in_dir / "a_gen_imgs_0_0.png"))
+    save_spectrogram_npy(db[1], str(in_dir / "b.npy"))
+
+    out_dir = tmp_path / "wavs"
+    written = spec_to_wav.run(str(in_dir), str(out_dir), batch_size=2, gl_iters=4,
+                              nnls_iters=8, sample_rate=CFG.sample_rate)
+    assert written == 2
+    sr, data = wavfile.read(out_dir / "b.wav")
+    assert sr == CFG.sample_rate
+    assert data.dtype == np.int16 and np.abs(data).max() > 1000  # audible signal
+
+    sr48, _ = None, None
+    written = spec_to_wav.run(str(in_dir), str(tmp_path / "wavs48"), batch_size=2,
+                              gl_iters=2, nnls_iters=4, sample_rate=CFG.sample_rate,
+                              out_sr=48000, limit=1)
+    assert written == 1
+    sr48, d48 = wavfile.read(tmp_path / "wavs48" / "a_gen_imgs_0_0.wav")
+    assert sr48 == 48000 and d48.size > 0
+
+
+def test_spec_to_wav_cli_uses_spectrogram_config_shapes(tmp_path):
+    # a non-default mel/frame geometry must build a matching config, not crash
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.export import save_spectrogram_npy
+    from spectrogramgenai_tpu.cli import spec_to_wav
+
+    cfg = SpectrogramConfig(sample_rate=8000, n_fft=512, hop_length=128, n_mels=32,
+                            num_frames=40, clip_seconds=0.7)
+    x = _tone_batch()[:, : cfg.clip_samples]
+    db = np.asarray(logmel_spectrogram(jnp.asarray(x), cfg))[..., : cfg.num_frames]
+    in_dir = tmp_path / "s"
+    in_dir.mkdir()
+    save_spectrogram_npy(db[0], str(in_dir / "x.npy"))
+    written = spec_to_wav.run(str(in_dir), str(tmp_path / "w"), batch_size=1,
+                              gl_iters=2, nnls_iters=4, sample_rate=8000)
+    assert written == 1
