@@ -22,8 +22,10 @@ import os
 def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
         sampler: str, num_steps: int, use_ema: bool, class_names: list[str],
         warmup: bool = True, block: bool = True, artifact: str | None = None,
-        force_batch: bool = False):
-    from spectrogramgenai_tpu.serving import BatchingSampler, GenerationHTTPServer
+        force_batch: bool = False, audio_out_sr: int | None = None,
+        audio_gl_iters: int = 32, warm_audio: bool = False):
+    from spectrogramgenai_tpu.serving import (AudioReconstructor, BatchingSampler,
+                                              GenerationHTTPServer)
 
     if artifact:
         # serve an exported StableHLO artifact — no checkpoint/model code
@@ -52,13 +54,18 @@ def run(cfg, *, port: int, host: str, serve_batch: int, max_delay_ms: float,
                                   max_delay_ms=max_delay_ms, sampler=sampler,
                                   num_steps=num_steps, use_ema=use_ema,
                                   force_batch=force_batch)
+    audio_rec = AudioReconstructor(gl_iters=audio_gl_iters, out_sr=audio_out_sr)
     if warmup:
         # compile the fixed-shape chain before accepting traffic
         print(f"serve: warming up ({sampler}, batch {serve_batch})…", flush=True)
-        batcher.submit(0, 1).result()
+        img = batcher.submit(0, 1).result()
+        if warm_audio:
+            print("serve: warming audio inversion…", flush=True)
+            audio_rec.warmup(img.shape[1], img.shape[2], counts=(1,))
         print("serve: warmup done", flush=True)
 
-    server = GenerationHTTPServer(batcher, class_names, host=host, port=port)
+    server = GenerationHTTPServer(batcher, class_names, host=host, port=port,
+                                  audio=audio_rec)
     print(f"serve: listening on {host}:{server.port} "
           f"(batch {serve_batch}, window {max_delay_ms}ms, {sampler})", flush=True)
     if block:
@@ -96,6 +103,12 @@ def main(argv=None):
                    help="override the measured-safe TPU label-batch bound "
                         "(core/limits.py; ≥81 labels crashes the axon worker)")
     p.add_argument("--train_folder_for_classes", default=None)
+    p.add_argument("--audio_out_sr", type=int, default=None,
+                   help='resample "audio": true responses (e.g. 48000 for CLAP)')
+    p.add_argument("--audio_gl_iters", type=int, default=32,
+                   help="Griffin-Lim iterations for audio reconstruction")
+    p.add_argument("--warm_audio", action="store_true",
+                   help="also compile the audio-inversion program at startup")
     add_config_args(p, DDPMConfig)
     a = p.parse_args(argv)
     cfg = apply_overrides(DDPMConfig(), a)
@@ -111,7 +124,8 @@ def main(argv=None):
     run(cfg, port=a.port, host=a.host, serve_batch=a.serve_batch,
         max_delay_ms=a.max_delay_ms, sampler=a.sampler, num_steps=a.num_steps,
         use_ema=bool(a.use_ema), class_names=class_names, artifact=a.artifact,
-        force_batch=a.force_batch)
+        force_batch=a.force_batch, audio_out_sr=a.audio_out_sr,
+        audio_gl_iters=a.audio_gl_iters, warm_audio=a.warm_audio)
 
 
 if __name__ == "__main__":

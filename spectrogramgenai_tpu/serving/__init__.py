@@ -7,6 +7,7 @@ retraces), a coalescing request queue that fills each chain with work from
 many concurrent clients, and an HTTP front end.
 """
 
-from spectrogramgenai_tpu.serving.server import BatchingSampler, GenerationHTTPServer
+from spectrogramgenai_tpu.serving.server import (AudioReconstructor, BatchingSampler,
+                                                  GenerationHTTPServer)
 
-__all__ = ["BatchingSampler", "GenerationHTTPServer"]
+__all__ = ["AudioReconstructor", "BatchingSampler", "GenerationHTTPServer"]

@@ -97,7 +97,7 @@ class BatchingSampler:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "images": 0, "batches": 0,
                       "slots_filled": 0, "slots_padded": 0, "busy_seconds": 0.0,
-                      "encode_seconds": 0.0}
+                      "encode_seconds": 0.0, "audio_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, name="sampler-worker", daemon=True)
         self._worker.start()
 
@@ -197,12 +197,18 @@ class BatchingSampler:
         with self._lock:
             self.stats["encode_seconds"] += dt
 
+    def add_audio_seconds(self, dt: float) -> None:
+        """Wall time spent in on-device audio reconstruction (audio=true)."""
+        with self._lock:
+            self.stats["audio_seconds"] += dt
+
     def snapshot_stats(self) -> dict:
         with self._lock:
             s = dict(self.stats)
         busy = s.pop("busy_seconds")
         s["busy_seconds"] = round(busy, 3)
         s["encode_seconds"] = round(s["encode_seconds"], 3)
+        s["audio_seconds"] = round(s["audio_seconds"], 3)
         if busy > 0:
             s["images_per_sec_busy"] = round(s["images"] / busy, 3)
         if s["batches"] > 0:
@@ -252,6 +258,79 @@ def _png_bytes_batch(imgs: np.ndarray) -> list[bytes]:
     return [_png_bytes(im) for im in imgs]
 
 
+class AudioReconstructor:
+    """Generated uint8 spectrograms → WAV bytes, inverted on device.
+
+    Wraps audio/invert.db_mel_to_audio (FISTA NNLS mel inverse + momentum
+    Griffin-Lim) for the serving path. Request counts vary, so batches pad
+    to power-of-two buckets — jax's jit cache then holds at most
+    log2(max_count)+1 compiled programs per image geometry. The first audio
+    request per bucket pays that compile (minutes on a cold remote-TPU
+    cache); ``warmup()`` front-loads the common buckets at server start.
+    """
+
+    def __init__(self, sample_rate: int = 22050, n_fft: int = 2048,
+                 hop_length: int = 384, gl_iters: int = 32, nnls_iters: int = 32,
+                 top_db: float = 80.0, out_sr: int | None = None):
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.gl_iters = gl_iters
+        self.nnls_iters = nnls_iters
+        self.top_db = top_db
+        self.out_sr = out_sr
+
+    def _cfg(self, n_mels: int, n_frames: int):
+        from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
+
+        return SpectrogramConfig(sample_rate=self.sample_rate, n_fft=self.n_fft,
+                                 hop_length=self.hop_length, n_mels=n_mels,
+                                 num_frames=n_frames)
+
+    def wav_bytes_batch(self, imgs: np.ndarray) -> list[bytes]:
+        """[n, H, W(, 1)] uint8 spectrograms → n WAV (16-bit PCM) byte strings."""
+        from scipy.io import wavfile
+
+        from spectrogramgenai_tpu.audio.invert import db_mel_to_audio
+
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 4 and imgs.shape[-1] == 1:
+            imgs = imgs[..., 0]
+        n, h, w = imgs.shape
+        db = imgs.astype(np.float32) / 255.0 * self.top_db - self.top_db
+        bucket = 1 << (n - 1).bit_length()  # next power of two
+        if bucket > n:
+            db = np.concatenate([db, np.zeros((bucket - n, h, w), np.float32)])
+        wavs = np.asarray(db_mel_to_audio(db, self._cfg(h, w), gl_iters=self.gl_iters,
+                                          nnls_iters=self.nnls_iters))[:n]
+        sr = self.sample_rate
+        if self.out_sr and self.out_sr != sr:
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(int(self.out_sr), sr)
+            wavs = [resample_poly(wv, self.out_sr // g, sr // g).astype(np.float32)
+                    for wv in wavs]
+            sr = self.out_sr
+        out = []
+        for wv in wavs:
+            pcm = (np.clip(wv, -1.0, 1.0) * 32767.0).astype(np.int16)
+            buf = io.BytesIO()
+            wavfile.write(buf, sr, pcm)
+            out.append(buf.getvalue())
+        return out
+
+    @property
+    def output_sample_rate(self) -> int:
+        return self.out_sr or self.sample_rate
+
+    def warmup(self, n_mels: int, n_frames: int, counts=(1,)) -> None:
+        """Compile the inversion program for the given image geometry."""
+        for c in counts:
+            self.wav_bytes_batch(np.zeros((c, n_mels, n_frames), np.uint8))
+
+
 class GenerationHTTPServer:
     """Minimal production HTTP front end over a BatchingSampler.
 
@@ -259,15 +338,21 @@ class GenerationHTTPServer:
       GET  /healthz            → {"ok": true, "backend": "...", "classes": N}
       GET  /stats              → batching/throughput counters
       POST /generate           → {"label": int|str, "count": int} →
-                                 {"label": i, "images": [<base64 png>, ...]}
+                                 {"label": i, "images": [<base64 png>, ...]};
+                                 with "audio": true, also reconstructs
+                                 waveforms on device (Griffin-Lim inversion)
+                                 → {..., "audio": [<base64 wav>, ...],
+                                    "sample_rate": sr}
     """
 
     def __init__(self, sampler: BatchingSampler, class_names: list[str] | None = None,
                  host: str = "127.0.0.1", port: int = 8000,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 audio: AudioReconstructor | None = None):
         import jax
 
         backend = jax.default_backend()
+        audio_rec = audio if audio is not None else AudioReconstructor()
         names = class_names or []
         name_to_idx = {n: i for i, n in enumerate(names)}
         num_classes = sampler.num_classes
@@ -317,6 +402,7 @@ class GenerationHTTPServer:
                     count = int(req.get("count", 1))
                     if not (1 <= count <= 256):
                         return self._json(400, {"error": f"count out of range: {count}"})
+                    want_audio = bool(req.get("audio", False))
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
                 try:
@@ -326,7 +412,17 @@ class GenerationHTTPServer:
                 t_enc = time.monotonic()
                 payload = [base64.b64encode(b).decode() for b in _png_bytes_batch(imgs)]
                 sampler.add_encode_seconds(time.monotonic() - t_enc)
-                self._json(200, {"label": label, "images": payload})
+                resp = {"label": label, "images": payload}
+                if want_audio:
+                    try:
+                        t_au = time.monotonic()
+                        wavs = audio_rec.wav_bytes_batch(imgs)
+                        sampler.add_audio_seconds(time.monotonic() - t_au)
+                        resp["audio"] = [base64.b64encode(b).decode() for b in wavs]
+                        resp["sample_rate"] = audio_rec.output_sample_rate
+                    except Exception as e:
+                        return self._json(500, {"error": f"audio: {type(e).__name__}: {e}"})
+                self._json(200, resp)
 
         # default request_queue_size (5) overflows under bursty concurrent
         # load — 100+ simultaneous connections on a busy host fill the accept

@@ -201,3 +201,60 @@ def test_serving_on_multichip_mesh():
         assert b.snapshot_stats()["batches"] <= 2  # coalesced across the mesh
     finally:
         b.close()
+
+
+def test_http_server_audio_reconstruction(tiny_task):
+    # "audio": true responses carry base64 WAVs reconstructed on device
+    # (Griffin-Lim inversion of the served spectrograms)
+    from scipy.io import wavfile
+
+    from spectrogramgenai_tpu.serving import AudioReconstructor
+
+    task, state = tiny_task
+    b = BatchingSampler(task, state, batch_size=2, max_delay_ms=10.0,
+                        sampler="ddim", num_steps=4)
+    rec = AudioReconstructor(sample_rate=8000, n_fft=256, hop_length=64,
+                             gl_iters=4, nnls_iters=8)
+    server = GenerationHTTPServer(b, ["a", "b", "c"], port=0, audio=rec)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/generate",
+            data=json.dumps({"label": 0, "count": 2, "audio": True}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert len(body["images"]) == 2 and len(body["audio"]) == 2
+        assert body["sample_rate"] == 8000
+        sr, data = wavfile.read(io.BytesIO(base64.b64decode(body["audio"][0])))
+        assert sr == 8000 and data.dtype == np.int16
+        assert data.shape == ((16 - 1) * 64,)  # (T-1)·hop samples
+        stats = b.snapshot_stats()
+        assert stats["audio_seconds"] > 0
+
+        # without the flag the response has no audio key (and no cost)
+        req = urllib.request.Request(
+            f"{base}/generate", data=json.dumps({"label": 0}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert "audio" not in body
+    finally:
+        server.shutdown()
+        b.close()
+
+
+def test_audio_reconstructor_resamples_and_buckets():
+    from scipy.io import wavfile
+
+    from spectrogramgenai_tpu.serving import AudioReconstructor
+
+    rec = AudioReconstructor(sample_rate=8000, n_fft=256, hop_length=64,
+                             gl_iters=2, nnls_iters=4, out_sr=16000)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, 16, 16, 1), dtype=np.uint8)  # pads to bucket 4
+    wavs = rec.wav_bytes_batch(imgs)
+    assert len(wavs) == 3
+    assert rec.output_sample_rate == 16000
+    sr, data = wavfile.read(io.BytesIO(wavs[0]))
+    assert sr == 16000 and data.shape == (2 * (16 - 1) * 64,)
