@@ -214,6 +214,32 @@ def _bench_ddpm(num_classes=27):
     return out
 
 
+def _bench_invert(batch=27, iters=20):
+    """Spectrogram→audio inversion (audio/invert.py): the serving/audio and
+    spec_to_wav hot path at the production geometry (256×256 dB mels,
+    GL 32 + NNLS 32, one jitted program)."""
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import db_mel_to_audio
+    from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
+    from spectrogramgenai_tpu.utils.benchtools import timeit_device
+
+    cfg = SpectrogramConfig(sample_rate=22050)
+    rng = np.random.default_rng(0)
+    t = np.arange(cfg.clip_samples) / cfg.sample_rate
+    audio = np.stack(
+        [np.sin(2 * np.pi * (700 + 61 * k) * t) * np.exp(-0.2 * t) for k in range(batch)]
+    ).astype(np.float32)
+    audio += 0.05 * rng.standard_normal(audio.shape).astype(np.float32)
+    db = logmel_spectrogram(jnp.asarray(audio), cfg)
+
+    dt = timeit_device(lambda x: db_mel_to_audio(x, cfg), db, iters=iters)
+    return {
+        "spec_to_wav_clips_per_sec_per_chip": batch / dt,
+        "spec_to_wav_batch": batch,
+    }
+
+
 def _bench_cpu_ddpm_baseline():
     """Measured torch/CPU reference sampling chain (BASELINE ≥20× contract)."""
     from tools.cpu_baseline_torch import measure_sampling_baseline
@@ -390,6 +416,7 @@ def main():
     result.update(section("vqvae", _bench_vqvae))
     result.update(section("classifier", lambda: _bench_classifier(capacity_batch=256)))
     result.update(section("classifier_sweep", _bench_classifier_sweep))
+    result.update(section("invert", _bench_invert))
 
     tpu_sps = result.get("ddpm_sampling_samples_per_sec_per_chip")
     cpu_ddpm = result.get("cpu_reference_ddpm_samples_per_sec")
