@@ -324,6 +324,36 @@ def _bench_vqvae(batch=16):
     return out
 
 
+def _bench_specunet(batch=8, capacity_batch=128):
+    """Source-separation trainer (reference helpers.py:1084-1181): the
+    transformer-denoiser MSE step at the reference batch 8, plus the
+    capacity batch (throughput scales to 26% MFU at 128 — the low-channel
+    stride-2 conv encoder/decoder is bandwidth-bound at small batch, same
+    shape as the ACGAN generator analysis in PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import RunConfig, SpecUNetConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.specunet_task import SpecUNetTask
+
+    cfg = SpecUNetConfig(run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = SpecUNetTask(cfg, mesh)
+    step = task.make_train_step()
+    out = {}
+    for b, suffix in ((batch, ""), (capacity_batch, f"_batch{capacity_batch}")):
+        # the step donates its state arg — fresh state per batch size
+        state = task.init_state(img_size=256, seed=0)
+        mix = jnp.zeros((b, 256, 256, 1), jnp.float32)
+        flops = _flops_of(step, state, mix, mix, mix)
+        dt = _time_train_step(step, state, mix, mix, mix)
+        out[f"specunet_train_images_per_sec_per_chip{suffix}"] = b / dt
+        if flops is not None:
+            out[f"specunet_train_mfu_pct{suffix}"] = _mfu(flops, dt)
+    return out
+
+
 def _bench_classifier(batch=16, model_name="custom", capacity_batch=None):
     import jax
     import jax.numpy as jnp
@@ -414,6 +444,7 @@ def main():
     result.update(section("acgan", _bench_acgan))
     result.update(section("acgan_capacity", _bench_acgan_capacity))
     result.update(section("vqvae", _bench_vqvae))
+    result.update(section("specunet", _bench_specunet))
     result.update(section("classifier", lambda: _bench_classifier(capacity_batch=256)))
     result.update(section("classifier_sweep", _bench_classifier_sweep))
     result.update(section("invert", _bench_invert))
