@@ -159,3 +159,24 @@ def test_inversion_runs_data_parallel_over_mesh():
     got = db_mel_to_audio(sharded, CFG, gl_iters=4, nnls_iters=8)
     assert len(got.sharding.device_set) == 8  # stayed distributed
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_istft_matches_torch_oracle():
+    # torch.istft (center=True, same hann window) is an independent oracle
+    # for the overlap-add + NOLA normalization + center-trim semantics
+    import jax.numpy as jnp
+    import torch
+
+    from spectrogramgenai_tpu.audio.invert import istft, stft_complex
+    from spectrogramgenai_tpu.audio.spectrogram import _constants
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, CFG.sample_rate)).astype(np.float32)
+    spec = np.asarray(stft_complex(jnp.asarray(x), CFG))  # (B, T, F)
+    win, _ = _constants(CFG)
+    ref = torch.istft(torch.from_numpy(spec.copy()).transpose(1, 2).contiguous(),
+                      n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+                      window=torch.from_numpy(win.copy()), center=True,
+                      length=x.shape[1]).numpy()
+    ours = np.asarray(istft(jnp.asarray(spec), CFG, length=x.shape[1]))
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
