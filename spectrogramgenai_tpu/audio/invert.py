@@ -193,3 +193,83 @@ def db_mel_to_audio(
     wav = griffin_lim(mag, cfg, n_iter=gl_iters, key=key)
     peak = jnp.max(jnp.abs(wav), axis=1, keepdims=True)
     return wav / jnp.maximum(peak, 1e-10)
+
+
+class AudioReconstructor:
+    """Generated uint8 spectrograms → WAV bytes, inverted on device.
+
+    Wraps audio/invert.db_mel_to_audio (FISTA NNLS mel inverse + momentum
+    Griffin-Lim) for serving and the generate CLI. Request counts vary, so batches pad
+    to power-of-two buckets — jax's jit cache then holds at most
+    log2(max_count)+1 compiled programs per image geometry. The first audio
+    request per bucket pays that compile (minutes on a cold remote-TPU
+    cache); ``warmup()`` front-loads the common buckets at server start.
+    """
+
+    def __init__(self, sample_rate: int = 22050, n_fft: int = 2048,
+                 hop_length: int = 384, gl_iters: int = 32, nnls_iters: int = 32,
+                 top_db: float = 80.0, out_sr: int | None = None):
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.gl_iters = gl_iters
+        self.nnls_iters = nnls_iters
+        self.top_db = top_db
+        self.out_sr = out_sr
+
+    def _cfg(self, n_mels: int, n_frames: int):
+        from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
+
+        return SpectrogramConfig(sample_rate=self.sample_rate, n_fft=self.n_fft,
+                                 hop_length=self.hop_length, n_mels=n_mels,
+                                 num_frames=n_frames)
+
+    def waveforms(self, imgs: np.ndarray) -> tuple[list[np.ndarray], int]:
+        """[n, H, W(, 1)] uint8 spectrograms → (n float32 waveforms, sr)."""
+        from spectrogramgenai_tpu.audio.invert import db_mel_to_audio
+
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 4 and imgs.shape[-1] == 1:
+            imgs = imgs[..., 0]
+        n, h, w = imgs.shape
+        db = imgs.astype(np.float32) / 255.0 * self.top_db - self.top_db
+        bucket = 1 << (n - 1).bit_length()  # next power of two
+        if bucket > n:
+            db = np.concatenate([db, np.zeros((bucket - n, h, w), np.float32)])
+        wavs = np.asarray(db_mel_to_audio(db, self._cfg(h, w), gl_iters=self.gl_iters,
+                                          nnls_iters=self.nnls_iters))[:n]
+        sr = self.sample_rate
+        if self.out_sr and self.out_sr != sr:
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(int(self.out_sr), sr)
+            wavs = [resample_poly(wv, self.out_sr // g, sr // g).astype(np.float32)
+                    for wv in wavs]
+            sr = self.out_sr
+        return list(wavs), sr
+
+    def wav_bytes_batch(self, imgs: np.ndarray) -> list[bytes]:
+        """[n, H, W(, 1)] uint8 spectrograms → n WAV (16-bit PCM) byte strings."""
+        import io
+
+        from scipy.io import wavfile
+
+        wavs, sr = self.waveforms(imgs)
+        out = []
+        for wv in wavs:
+            pcm = (np.clip(wv, -1.0, 1.0) * 32767.0).astype(np.int16)
+            buf = io.BytesIO()
+            wavfile.write(buf, sr, pcm)
+            out.append(buf.getvalue())
+        return out
+
+    @property
+    def output_sample_rate(self) -> int:
+        return self.out_sr or self.sample_rate
+
+    def warmup(self, n_mels: int, n_frames: int, counts=(1,)) -> None:
+        """Compile the inversion program for the given image geometry."""
+        for c in counts:
+            self.wav_bytes_batch(np.zeros((c, n_mels, n_frames), np.uint8))

@@ -21,7 +21,8 @@ import numpy as np
 def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: list[str],
         sav_denoise_path: str | None = None, use_ema: bool = False,
         sampler: str = "ddpm", num_steps: int = 50, artifact: str | None = None,
-        force_batch: bool = False):
+        force_batch: bool = False, audio_dir: str | None = None,
+        audio_out_sr: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +35,8 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
 
     if artifact:
         return _run_from_artifact(artifact, img_folder, num_samples, start_idx, class_names,
-                                  force_batch=force_batch)
+                                  force_batch=force_batch, audio_dir=audio_dir,
+                                  audio_out_sr=audio_out_sr)
 
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
     vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
@@ -75,13 +77,37 @@ def run(cfg, img_folder: str, num_samples: int, start_idx: int, class_names: lis
             for i, lab in enumerate(np.asarray(labels))
         ]
         save_generated_pngs(imgs[: k * n], out_paths)
+        if audio_dir:
+            _write_audio(imgs[: k * n], out_paths, audio_dir, audio_out_sr)
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * n} images")
         samp_i += k
         remaining -= k
 
 
+def _write_audio(imgs_uint8, png_paths: list[str], audio_dir: str,
+                 out_sr: int | None) -> None:
+    """Reconstruct waveforms from the in-memory generated samples (same
+    inversion as cli.spec_to_wav, without the PNG round-trip) and write
+    `{png stem}.wav` next to each image name under `audio_dir`."""
+    from spectrogramgenai_tpu.audio.invert import AudioReconstructor
+    from spectrogramgenai_tpu.audio.wavio import save_wav
+
+    rec = _write_audio._rec
+    if rec is None or rec.out_sr != out_sr:
+        rec = _write_audio._rec = AudioReconstructor(out_sr=out_sr)
+    os.makedirs(audio_dir, exist_ok=True)
+    wavs, sr = rec.waveforms(np.asarray(imgs_uint8))
+    for wav, png_path in zip(wavs, png_paths):
+        stem = os.path.splitext(os.path.basename(png_path))[0]
+        save_wav(os.path.join(audio_dir, stem + ".wav"), wav, sr)
+
+
+_write_audio._rec = None
+
+
 def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
-                       start_idx: int, class_names: list[str], force_batch: bool = False):
+                       start_idx: int, class_names: list[str], force_batch: bool = False,
+                       audio_dir: str | None = None, audio_out_sr: int | None = None):
     """Generate from an exported StableHLO sampler (cli.export_model) — no
     checkpoint, config, or model code; the artifact froze sampler/steps/CFG.
     Its label batch must be k·num_classes so the per-class naming contract
@@ -113,6 +139,8 @@ def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
             for i in range(ncls)
         ]
         save_generated_pngs(np.asarray(imgs)[: k * ncls], out_paths)
+        if audio_dir:
+            _write_audio(np.asarray(imgs)[: k * ncls], out_paths, audio_dir, audio_out_sr)
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * ncls} images")
         samp_i += k
         remaining -= k
@@ -181,6 +209,11 @@ def main(argv=None):
                         "(core/limits.py; ≥81 labels crashes the axon worker)")
     p.add_argument("--train_folder_for_classes", default=None,
                    help="derive class names from this folder's subdirs")
+    p.add_argument("--audio_dir", default=None,
+                   help="also reconstruct each sample to WAV (Griffin-Lim "
+                        "inversion, same as cli.spec_to_wav) into this folder")
+    p.add_argument("--audio_out_sr", type=int, default=None,
+                   help="resample reconstructed audio (e.g. 48000 for CLAP FAD)")
     add_config_args(p, DDPMConfig)
     a = p.parse_args(argv)
     cfg = apply_overrides(DDPMConfig(), a)
@@ -194,7 +227,8 @@ def main(argv=None):
 
     run(cfg, a.img_folder, a.num_samples, a.start_idx, class_names,
         a.sav_denoise_path, bool(a.use_ema), a.sampler, a.num_steps,
-        artifact=a.artifact, force_batch=a.force_batch)
+        artifact=a.artifact, force_batch=a.force_batch,
+        audio_dir=a.audio_dir, audio_out_sr=a.audio_out_sr)
 
 
 if __name__ == "__main__":

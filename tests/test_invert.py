@@ -180,3 +180,18 @@ def test_istft_matches_torch_oracle():
                       length=x.shape[1]).numpy()
     ours = np.asarray(istft(jnp.asarray(spec), CFG, length=x.shape[1]))
     np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_generate_cli_write_audio_helper(tmp_path):
+    # the --audio_dir hook: in-memory uint8 samples → {png stem}.wav files
+    from scipy.io import wavfile
+
+    from spectrogramgenai_tpu.cli.generate import _write_audio
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (3, 16, 16, 1), dtype=np.uint8)
+    paths = [f"imgs/a_gen_imgs_{i}_0.png" for i in range(3)]
+    _write_audio(imgs, paths, str(tmp_path), out_sr=None)
+    for i in range(3):
+        sr, data = wavfile.read(tmp_path / f"a_gen_imgs_{i}_0.wav")
+        assert data.dtype == np.int16 and data.size > 0
