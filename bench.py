@@ -240,6 +240,35 @@ def _bench_invert(batch=27, iters=20):
     }
 
 
+def _bench_input_pipeline(n_images=256, batch=32):
+    """Host input-pipeline throughput: viridis-PNG decode → transformed
+    batches (the native C++ batch decoder path that feeds every trainer).
+    Reported per host core available here; the companion key says how many
+    such cores keep the capacity-batch DDPM trainer fed (production hosts
+    have many; this bench VM has 1)."""
+    import os
+    import tempfile
+
+    from spectrogramgenai_tpu.audio.export import save_spectrogram_pngs
+    from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, iterate_batches
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        cls = os.path.join(root, "class_a")
+        specs = rng.standard_normal((n_images, 256, 256)).astype(np.float32)
+        save_spectrogram_pngs(specs, [os.path.join(cls, f"s{i}.png") for i in range(n_images)])
+        src = ImageFolderSource(root)
+        next(iterate_batches(src, batch))  # warm (thread pool, page cache)
+        t0 = time.perf_counter()
+        seen = 0
+        for b in iterate_batches(src, batch):
+            seen += len(b["label"])
+        dt = time.perf_counter() - t0
+    ips = seen / dt
+    return {"input_pipeline_images_per_sec_per_core": ips,
+            "input_pipeline_host_cores": os.cpu_count()}
+
+
 def _bench_cpu_ddpm_baseline():
     """Measured torch/CPU reference sampling chain (BASELINE ≥20× contract)."""
     from tools.cpu_baseline_torch import measure_sampling_baseline
@@ -448,6 +477,13 @@ def main():
     result.update(section("classifier", lambda: _bench_classifier(capacity_batch=256)))
     result.update(section("classifier_sweep", _bench_classifier_sweep))
     result.update(section("invert", _bench_invert))
+    result.update(section("input_pipeline", _bench_input_pipeline))
+
+    ips = result.get("input_pipeline_images_per_sec_per_core")
+    train_ips = result.get("ddpm_train_images_per_sec_per_chip_batch32")
+    if ips and train_ips:
+        # host cores needed to keep one chip's capacity-batch trainer fed
+        result["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
 
     tpu_sps = result.get("ddpm_sampling_samples_per_sec_per_chip")
     cpu_ddpm = result.get("cpu_reference_ddpm_samples_per_sec")
