@@ -115,8 +115,9 @@ def save_generated_pngs(imgs_uint8: np.ndarray, paths: list[str],
         if d:
             os.makedirs(d, exist_ok=True)
     # LUT index = the uint8 value exactly: clip(int(v/255·256)) == v (see
-    # _viridis_lut docstring) — bit-matches save_generated_png's colormap.
-    rgb = np.ascontiguousarray(_viridis_lut()[imgs.astype(np.int32)])
+    # _viridis_lut docstring) — bit-matches save_generated_png's colormap
+    # (cm.viridis clips out-of-range inputs, so clip the index likewise).
+    rgb = np.ascontiguousarray(_viridis_lut()[np.clip(imgs.astype(np.int32), 0, 255)])
 
     from spectrogramgenai_tpu.data.native_png import save_png_batch_rgb
 
@@ -129,6 +130,27 @@ def save_generated_pngs(imgs_uint8: np.ndarray, paths: list[str],
 def save_spectrogram_npy(spec: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path, spec.astype(np.float32))
+
+
+def load_generated_spec_uint8(path: str) -> np.ndarray:
+    """Exact inverse of save_generated_png's colormap: viridis RGB → the
+    original uint8 values.
+
+    ``convert("L")`` luminance is NOT that inverse — measured, it warps
+    values by up to 41/255 (≈13 dB at top_db=80) and non-monotonically
+    (that lossy read-back is the *training* contract, kept separately in
+    :func:`load_image_grayscale`). A nearest-LUT-entry lookup recovers
+    every pixel up to viridis' own uint8 quantization collisions (a few
+    adjacent indices share an RGB triple → ±1 level = 0.31 dB, the PNG
+    format's floor), and degrades gracefully for recompressed images."""
+    rgb = np.asarray(Image.open(path).convert("RGB"), dtype=np.int32)
+    lut = _viridis_lut().astype(np.int32)  # (256, 3)
+    out = np.empty(rgb.shape[:2], np.uint8)
+    for lo in range(0, rgb.shape[0], 32):  # row blocks bound the temp to ~8 MB
+        block = rgb[lo : lo + 32]
+        d = ((block[..., None, :] - lut[None, None, :, :]) ** 2).sum(-1)
+        out[lo : lo + 32] = d.argmin(-1).astype(np.uint8)
+    return out
 
 
 def load_image_grayscale(path: str) -> np.ndarray:

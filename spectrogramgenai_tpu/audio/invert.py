@@ -70,6 +70,10 @@ def istft(stft_c: jax.Array, cfg: SpectrogramConfig, length: int | None = None) 
     pad = cfg.n_fft // 2 if cfg.center else 0
     if length is None:
         length = (t - 1) * cfg.hop_length if cfg.center else total
+    if pad + length > total:
+        # librosa semantics: zero-pad past the reconstructable span instead
+        # of letting dynamic_slice clamp the start (a silent time shift)
+        out = jnp.pad(out, ((0, 0), (0, pad + length - total)))
     return jax.lax.dynamic_slice_in_dim(out, pad, length, axis=1)
 
 
@@ -96,19 +100,23 @@ def griffin_lim(
         angles = jnp.exp(1j * phase.astype(jnp.complex64))
 
     t = mag.shape[1]
-    wav_len = length if length is not None else ((t - 1) * cfg.hop_length if cfg.center else (t - 1) * cfg.hop_length + cfg.n_fft)
+    # iterate at the full span the T frames determine so rebuilt keeps T
+    # frames regardless of the requested output `length` (shorter lengths
+    # previously shape-mismatched inside the scan); `length` only applies
+    # to the final synthesis
+    span = (t - 1) * cfg.hop_length if cfg.center else (t - 1) * cfg.hop_length + cfg.n_fft
     alpha = momentum / (1.0 + momentum)
 
     def step(carry, _):
         angles, tprev = carry
-        inverse = istft(mag * angles, cfg, length=wav_len)
+        inverse = istft(mag * angles, cfg, length=span)
         rebuilt = stft_complex(inverse, cfg)[:, :t, :]
         new = rebuilt - alpha * tprev
         new = new / jnp.maximum(jnp.abs(new), 1e-16)
         return (new, rebuilt), None
 
     (angles, _), _ = jax.lax.scan(step, (angles, jnp.zeros_like(angles)), None, length=n_iter)
-    return istft(mag * angles, cfg, length=wav_len)
+    return istft(mag * angles, cfg, length=length if length is not None else span)
 
 
 @functools.lru_cache(maxsize=16)
@@ -155,6 +163,19 @@ def mel_power_to_stft_power(mel: jax.Array, cfg: SpectrogramConfig, n_iter: int 
 
     (s, _), _ = jax.lax.scan(step, (s0, s0), betas)
     return jnp.swapaxes(s, 1, 2)  # (B, T, F)
+
+
+def resample_wavs(wavs, sr: int, out_sr: int | None):
+    """Polyphase-resample a list/array of waveforms; no-op when rates match."""
+    if not out_sr or out_sr == sr:
+        return list(wavs), sr
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(out_sr), int(sr))
+    return [resample_poly(np.asarray(w), out_sr // g, sr // g).astype(np.float32)
+            for w in wavs], int(out_sr)
 
 
 def db_to_power(db: jax.Array) -> jax.Array:
@@ -238,17 +259,7 @@ class AudioReconstructor:
             db = np.concatenate([db, np.zeros((bucket - n, h, w), np.float32)])
         wavs = np.asarray(db_mel_to_audio(db, self._cfg(h, w), gl_iters=self.gl_iters,
                                           nnls_iters=self.nnls_iters))[:n]
-        sr = self.sample_rate
-        if self.out_sr and self.out_sr != sr:
-            from math import gcd
-
-            from scipy.signal import resample_poly
-
-            g = gcd(int(self.out_sr), sr)
-            wavs = [resample_poly(wv, self.out_sr // g, sr // g).astype(np.float32)
-                    for wv in wavs]
-            sr = self.out_sr
-        return list(wavs), sr
+        return resample_wavs(wavs, self.sample_rate, self.out_sr)
 
     def wav_bytes_batch(self, imgs: np.ndarray) -> list[bytes]:
         """[n, H, W(, 1)] uint8 spectrograms → n WAV (16-bit PCM) byte strings."""

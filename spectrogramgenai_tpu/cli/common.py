@@ -6,6 +6,19 @@ import logging
 import os
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache — the remote TPU compile path is slow,
+    so every CLI (config-driven or not) should turn this on."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("SPECAI_COMPILE_CACHE", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def setup(run_cfg, debug_nans: bool = False):
     """Apply runtime config every trainer CLI wants.
 
@@ -27,12 +40,7 @@ def setup(run_cfg, debug_nans: bool = False):
         datefmt="%I:%M:%S",
     )
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("SPECAI_COMPILE_CACHE", "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache()
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
 

@@ -92,17 +92,13 @@ def _write_audio(imgs_uint8, png_paths: list[str], audio_dir: str,
     from spectrogramgenai_tpu.audio.invert import AudioReconstructor
     from spectrogramgenai_tpu.audio.wavio import save_wav
 
-    rec = _write_audio._rec
-    if rec is None or rec.out_sr != out_sr:
-        rec = _write_audio._rec = AudioReconstructor(out_sr=out_sr)
     os.makedirs(audio_dir, exist_ok=True)
-    wavs, sr = rec.waveforms(np.asarray(imgs_uint8))
+    # AudioReconstructor is a stateless config holder — jax's jit cache
+    # already dedupes the compiled inversion programs across calls
+    wavs, sr = AudioReconstructor(out_sr=out_sr).waveforms(np.asarray(imgs_uint8))
     for wav, png_path in zip(wavs, png_paths):
         stem = os.path.splitext(os.path.basename(png_path))[0]
         save_wav(os.path.join(audio_dir, stem + ".wav"), wav, sr)
-
-
-_write_audio._rec = None
 
 
 def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
@@ -132,15 +128,15 @@ def _run_from_artifact(artifact_path: str, img_folder: str, num_samples: int,
     remaining = num_samples
     while remaining > 0:
         k = min(rounds_per_chain, remaining)
-        imgs = art(samp_i, labels)
+        imgs = np.asarray(art(samp_i, labels))[: k * ncls]  # one device→host copy
         out_paths = [
             os.path.join(img_folder, f"{class_names[i]}_gen_imgs_{i}_{samp_i + r}.png")
             for r in range(k)
             for i in range(ncls)
         ]
-        save_generated_pngs(np.asarray(imgs)[: k * ncls], out_paths)
+        save_generated_pngs(imgs, out_paths)
         if audio_dir:
-            _write_audio(np.asarray(imgs)[: k * ncls], out_paths, audio_dir, audio_out_sr)
+            _write_audio(imgs, out_paths, audio_dir, audio_out_sr)
         print(f"sample rounds {samp_i}..{samp_i + k - 1}: wrote {k * ncls} images")
         samp_i += k
         remaining -= k

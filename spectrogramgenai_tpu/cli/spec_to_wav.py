@@ -4,7 +4,7 @@ Capability the reference lacks: its FAD metric scores *audio* directories
 (reference src/fad.py:11-24) but generation emits spectrogram PNGs
 (src/diff_modules.py:771-775) — there is no path from generated samples to
 a FAD-scorable folder. This CLI inverts a folder of spectrograms (viridis
-PNGs via the grayscale read-back, or exact .npy dB arrays) back to WAV,
+PNGs via the exact colormap inverse, or .npy dB arrays) back to WAV,
 batched through one jitted on-device program.
 
   python -m spectrogramgenai_tpu.cli.spec_to_wav --in_dir gen_images \
@@ -29,7 +29,7 @@ def run(in_dir: str, out_dir: str, batch_size: int = 32, gl_iters: int = 32,
         limit: int | None = None, n_fft: int = 2048, hop_length: int = 384) -> int:
     import jax
 
-    from spectrogramgenai_tpu.audio.invert import db_mel_to_audio, png_unit_to_db
+    from spectrogramgenai_tpu.audio.invert import db_mel_to_audio, png_unit_to_db, resample_wavs
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
     from spectrogramgenai_tpu.audio.wavio import save_wav
 
@@ -43,11 +43,13 @@ def run(in_dir: str, out_dir: str, batch_size: int = 32, gl_iters: int = 32,
     def load_db(path: str) -> np.ndarray:
         if path.endswith(".npy"):
             return np.load(path).astype(np.float32)  # exact dB values
-        from spectrogramgenai_tpu.audio.export import load_image_grayscale
+        from spectrogramgenai_tpu.audio.export import load_generated_spec_uint8
 
-        img01 = load_image_grayscale(path)
-        # export.py writes spec[mel, time] rows directly, so the grayscale
-        # read-back rows are mel bins in the same orientation.
+        # Exact viridis inverse — convert("L") luminance warps values up to
+        # ~13 dB non-monotonically (see export.load_generated_spec_uint8),
+        # which made this path diverge from `generate --audio_dir` on the
+        # same samples. Rows are mel bins (export writes spec[mel, time]).
+        img01 = load_generated_spec_uint8(path).astype(np.float32) / 255.0
         return np.asarray(png_unit_to_db(img01, top_db=top_db))
 
     first = load_db(os.path.join(in_dir, names[0]))
@@ -66,16 +68,8 @@ def run(in_dir: str, out_dir: str, batch_size: int = 32, gl_iters: int = 32,
             db = np.concatenate([db, np.zeros((batch_size - n_true, *db.shape[1:]), db.dtype)])
         wavs = np.asarray(db_mel_to_audio(db, cfg, gl_iters=gl_iters,
                                           nnls_iters=nnls_iters, key=key))
-        for row, fname in enumerate(chunk):
-            wav, sr = wavs[row], sample_rate
-            if out_sr and out_sr != sample_rate:
-                from math import gcd
-
-                from scipy.signal import resample_poly
-
-                g = gcd(int(out_sr), sample_rate)
-                wav = resample_poly(wav, out_sr // g, sample_rate // g).astype(np.float32)
-                sr = out_sr
+        wavs, sr = resample_wavs(wavs[: len(chunk)], sample_rate, out_sr)
+        for wav, fname in zip(wavs, chunk):
             stem = os.path.splitext(fname)[0]
             save_wav(os.path.join(out_dir, stem + ".wav"), wav, sr)
             written += 1
@@ -104,14 +98,9 @@ def main(argv=None):
                    help="random Griffin-Lim phase init instead of deterministic ones")
     p.add_argument("--limit", type=int, default=None)
     a = p.parse_args(argv)
-    import jax
+    from spectrogramgenai_tpu.cli.common import enable_compile_cache
 
-    try:  # persistent compile cache — the remote TPU compile path is slow
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("SPECAI_COMPILE_CACHE", "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache()
     run(a.in_dir, a.out_dir, batch_size=a.batch_size, gl_iters=a.gl_iters,
         nnls_iters=a.nnls_iters, sample_rate=a.sample_rate, top_db=a.top_db,
         out_sr=a.out_sr, random_phase=a.random_phase, limit=a.limit,

@@ -195,3 +195,57 @@ def test_generate_cli_write_audio_helper(tmp_path):
     for i in range(3):
         sr, data = wavfile.read(tmp_path / f"a_gen_imgs_{i}_0.wav")
         assert data.dtype == np.int16 and data.size > 0
+
+
+def test_viridis_png_roundtrip_is_exact(tmp_path):
+    # load_generated_spec_uint8 must invert the viridis colormap save up to
+    # the LUT's own uint8 quantization collisions (±1 level; convert('L')
+    # luminance warps up to ~41/255 and non-monotonically)
+    from spectrogramgenai_tpu.audio.export import load_generated_spec_uint8, save_generated_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    p = str(tmp_path / "v.png")
+    save_generated_png(img, p)
+    back = load_generated_spec_uint8(p)
+    diff = np.abs(back.astype(int) - img.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff != 0).mean() < 0.1  # collisions are rare
+
+
+def test_griffin_lim_short_length():
+    # regression: an explicit length below (T-1)*hop used to shape-mismatch
+    # inside the scan (rebuilt lost frames)
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import griffin_lim, stft_complex
+
+    xb = _tone_batch()
+    mag = jnp.abs(stft_complex(jnp.asarray(xb), CFG))
+    t = mag.shape[1]
+    short = (t - 2) * CFG.hop_length
+    wav = np.asarray(griffin_lim(mag, CFG, n_iter=3, length=short))
+    assert wav.shape == (2, short) and np.isfinite(wav).all()
+
+
+def test_istft_long_length_pads_instead_of_shifting():
+    # regression: when length exceeds the reconstructable span (hop >
+    # n_fft//2), dynamic_slice used to clamp the start — a silent time shift
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.audio.invert import istft, stft_complex
+
+    cfg = SpectrogramConfig(sample_rate=8000, n_fft=256, hop_length=192,
+                            n_mels=32, num_frames=16, clip_seconds=0.5)
+    x = _tone_batch()[:, : 4000]
+    spec = stft_complex(jnp.asarray(x), cfg)
+    t = spec.shape[1]
+    avail = (t - 1) * cfg.hop_length + cfg.n_fft - cfg.n_fft // 2
+    out = np.asarray(istft(spec, cfg, length=4000))
+    assert out.shape == (2, 4000)
+    # the recoverable prefix aligns with the input (no shift)...
+    edge = cfg.n_fft
+    np.testing.assert_allclose(out[:, edge : avail - edge], x[:, edge : avail - edge],
+                               atol=1e-4)
+    # ...and the unrecoverable tail is zero-padded
+    np.testing.assert_array_equal(out[:, avail:], 0)
