@@ -74,13 +74,28 @@ def run(cfg):
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    # Exact mid-epoch resume: state.step counts consumed train batches, so it
+    # is the full resume position. Skipped epochs still consume
+    # train_src.epoch_indices() (same source seed → same shuffle/bootstrap
+    # stream), and the first partial epoch skips its already-trained batches
+    # without decoding — the run continues on the identical remaining stream
+    # instead of re-training from epoch 0 (and overrunning the OneCycle
+    # schedule), which is what a naive epoch-granular restart would do.
+    start_epoch = min(int(state.step) // steps_per_epoch, cfg.epochs) if steps_per_epoch else 0
+    resume_skip = int(state.step) % steps_per_epoch if steps_per_epoch else 0
 
     val_root = os.path.join(cfg.data.dataset_path, cfg.data.val_folder)
     val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size) if os.path.isdir(val_root) else None
 
     step_i = int(state.step)
     for epoch in range(cfg.epochs):
-        for batch in device_prefetch(iterate_batches(train_src, cfg.data.batch_size, epochs=1), mesh):
+        if epoch < start_epoch:
+            train_src.epoch_indices()  # advance the shuffle/bootstrap RNG stream
+            continue
+        skip = resume_skip if epoch == start_epoch else 0
+        for batch in device_prefetch(
+            iterate_batches(train_src, cfg.data.batch_size, epochs=1, skip_batches=skip), mesh
+        ):
             state, m = train_step(state, batch["image"], batch["label"])
             step_i += 1
             if step_i % cfg.run.log_every == 0:

@@ -25,6 +25,10 @@ class RunConfig:
     ckpt_every_epochs: int = 10
     mesh_data: int = -1  # -1 = all devices
     mesh_model: int = 1
+    # parameter/optimizer-state sharding over the mesh (train/common.py
+    # SHARD_MODES): "tp" (default), "fsdp" (ZeRO-3 style over the data
+    # axis), "tp_fsdp", or "replicate".
+    param_sharding: str = "tp"
     use_wandb: bool = False
 
 

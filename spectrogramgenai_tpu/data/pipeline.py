@@ -194,21 +194,32 @@ def _collate(samples: list[dict]) -> dict:
 
 
 def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
-                    num_threads: int = 8, epochs: int | None = 1) -> Iterator[dict]:
+                    num_threads: int = 8, epochs: int | None = 1,
+                    skip_batches: int = 0) -> Iterator[dict]:
     """Decode-threaded batch iterator over `source` (host NumPy batches).
 
     Sources exposing ``load_batch(chunk, num_threads=8)`` (whole-batch
     native decode, one C++ thread-pooled call per batch) take that path;
     otherwise per-sample ``load`` fans out over a Python thread pool.
+
+    ``skip_batches`` enables exact mid-epoch resume: the first N batches of
+    the stream are skipped WITHOUT decoding, but ``source.epoch_indices()``
+    is still consumed batch-for-batch, so a restarted process (same source
+    seed) sees the identical remaining stream the original run would have —
+    the train step counter in a checkpoint is the full resume position.
     """
     load_batch = getattr(source, "load_batch", None)
     pool = cf.ThreadPoolExecutor(max_workers=num_threads)
     try:
         epoch = 0
+        to_skip = skip_batches
         while epochs is None or epoch < epochs:
             idx = source.epoch_indices()
             usable = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
             for start in range(0, usable, batch_size):
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
                 chunk = idx[start : start + batch_size]
                 if load_batch is not None:
                     yield load_batch(chunk, num_threads=num_threads)

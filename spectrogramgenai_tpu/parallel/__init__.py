@@ -6,8 +6,10 @@ The canonical API surface for scaling (SURVEY.md §2.5 rebuild table):
     identical code on 1 chip, a v5e-8 slice, or N virtual CPU devices.
   * :func:`batch_sharding` / :func:`shard_batch` — DP batch placement; XLA
     inserts the gradient psums over ICI.
-  * :func:`tp_param_sharding` / :func:`state_shardings` / :func:`shard_state`
-    — GSPMD tensor parallelism for wide kernels over the ``model`` axis.
+  * :func:`param_sharding` / :func:`state_shardings` / :func:`shard_state`
+    — GSPMD parameter sharding: ``tp`` (wide kernels over the ``model``
+    axis), ``fsdp`` (ZeRO-3 style params/optimizer/EMA over the ``data``
+    axis), or ``tp_fsdp`` combined (``SHARD_MODES``).
   * :func:`maybe_initialize_distributed` — multi-host (DCN) bring-up.
   * :func:`padded_eval_batches` / :func:`device_prefetch` — host-side input
     sharding and device prefetch.
@@ -31,7 +33,9 @@ from spectrogramgenai_tpu.core.mesh import (
 )
 from spectrogramgenai_tpu.data.pipeline import device_prefetch, padded_eval_batches
 from spectrogramgenai_tpu.train.common import (
+    SHARD_MODES,
     batch_shardings,
+    param_sharding,
     shard_state,
     state_shardings,
     tp_param_sharding,
@@ -49,7 +53,9 @@ __all__ = [
     "shard_batch",
     "device_prefetch",
     "padded_eval_batches",
+    "SHARD_MODES",
     "batch_shardings",
+    "param_sharding",
     "shard_state",
     "state_shardings",
     "tp_param_sharding",

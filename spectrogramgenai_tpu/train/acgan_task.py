@@ -80,7 +80,7 @@ class ACGANTask:
             d_opt=self.d_tx.init(d_vars["params"]),
             rng=krun,
         )
-        return common.shard_state(self.mesh, state)
+        return common.shard_state(self.mesh, state, mode=self.cfg.run.param_sharding)
 
     # -- noise construction (train_acgan.py:235-248) ---------------------------
     def build_noise(self, key, labels, a_ind=None):

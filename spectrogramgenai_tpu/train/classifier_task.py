@@ -71,7 +71,7 @@ class ClassifierTask:
         )
         stats = {k: v for k, v in variables.items() if k != "params"}
         state = new_train_state(params, self.tx, k_run, stats=stats)
-        return common.shard_state(self.mesh, state)
+        return common.shard_state(self.mesh, state, mode=self.cfg.run.param_sharding)
 
     def _load_pretrained(self, params, variables, path: str):
         """Merge converted ImageNet weights (tools/convert_torchvision.py) into

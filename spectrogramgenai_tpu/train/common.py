@@ -43,6 +43,15 @@ def make_adam(lr: float) -> optax.GradientTransformation:
 # Sharding rules
 # ---------------------------------------------------------------------------
 
+#: valid values for the ``mode`` argument of :func:`state_shardings` /
+#: :func:`shard_state` (and ``RunConfig.param_sharding``).
+SHARD_MODES = ("replicate", "tp", "fsdp", "tp_fsdp")
+
+# FSDP shards leaves with at least this many elements; below it the
+# all-gather latency outweighs the memory saved (biases, norm scales,
+# tiny kernels stay replicated).
+FSDP_MIN_SIZE = 2**15
+
 
 def tp_param_sharding(mesh: Mesh, leaf: jax.Array | jax.ShapeDtypeStruct,
                       min_dim: int = 256) -> NamedSharding:
@@ -53,20 +62,57 @@ def tp_param_sharding(mesh: Mesh, leaf: jax.Array | jax.ShapeDtypeStruct,
     dim ≥ min_dim divisible by the model-axis size are sharded on that dim;
     everything else (biases, norm scales, small kernels) replicates.
     """
-    tp = mesh.shape[MODEL_AXIS]
+    return param_sharding(mesh, leaf, mode="tp", min_dim=min_dim)
+
+
+def param_sharding(mesh: Mesh, leaf: jax.Array | jax.ShapeDtypeStruct, mode: str = "tp",
+                   min_dim: int = 256, fsdp_min_size: int = FSDP_MIN_SIZE) -> NamedSharding:
+    """Composable parameter-sharding rule (GSPMD — XLA inserts all collectives).
+
+    * ``tp``      — shard the output dim of large kernels over ``model``
+                    (activation collectives over ICI).
+    * ``fsdp``    — ZeRO-3 style: shard the largest remaining dim of every
+                    large leaf over ``data``. Because the same rule is applied
+                    to the whole TrainState tree, optimizer moments and the
+                    EMA copy are sharded too — per-device state memory drops
+                    ~|data| × for the large kernels. XLA all-gathers weights
+                    per layer in the forward/backward and reduce-scatters the
+                    gradient (the standard GSPMD FSDP recipe; the reference
+                    has no distributed training at all, SURVEY.md §2.5).
+    * ``tp_fsdp`` — both: model axis on the output dim, data axis on the
+                    largest other divisible dim.
+    * ``replicate`` — every leaf replicated.
+    """
+    if mode not in SHARD_MODES:
+        raise ValueError(f"param sharding mode {mode!r} not in {SHARD_MODES}")
     shape = leaf.shape
-    if tp > 1 and len(shape) >= 2 and shape[-1] >= min_dim and shape[-1] % tp == 0:
-        return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), MODEL_AXIS))
-    return NamedSharding(mesh, P())
+    spec: list = [None] * len(shape)
+    if len(shape) >= 2:
+        tp = mesh.shape[MODEL_AXIS]
+        if "tp" in mode and tp > 1 and shape[-1] >= min_dim and shape[-1] % tp == 0:
+            spec[-1] = MODEL_AXIS
+        dp = mesh.shape[DATA_AXIS]
+        size = 1
+        for d in shape:
+            size *= d
+        if "fsdp" in mode and dp > 1 and size >= fsdp_min_size:
+            for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+                if spec[i] is None and shape[i] % dp == 0:
+                    spec[i] = DATA_AXIS
+                    break
+    if all(axis is None for axis in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
 
 
-def state_shardings(mesh: Mesh, state, min_dim: int = 256):
-    """Sharding tree for a TrainState: TP rule on every array leaf (optimizer
-    moments share parameter shapes so they inherit the same layout)."""
+def state_shardings(mesh: Mesh, state, min_dim: int = 256, mode: str = "tp"):
+    """Sharding tree for a TrainState: the param rule on every array leaf
+    (optimizer moments and the EMA copy share parameter shapes so they
+    inherit the same layout — under fsdp modes that is the ZeRO memory win)."""
 
     def rule(leaf):
         if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 2:
-            return tp_param_sharding(mesh, leaf, min_dim=min_dim)
+            return param_sharding(mesh, leaf, mode=mode, min_dim=min_dim)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, state)
@@ -80,5 +126,5 @@ def batch_shardings(mesh: Mesh, batch):
     return jax.tree_util.tree_map(rule, batch)
 
 
-def shard_state(mesh: Mesh, state, min_dim: int = 256):
-    return jax.device_put(state, state_shardings(mesh, state, min_dim=min_dim))
+def shard_state(mesh: Mesh, state, min_dim: int = 256, mode: str = "tp"):
+    return jax.device_put(state, state_shardings(mesh, state, min_dim=min_dim, mode=mode))

@@ -111,7 +111,7 @@ class DiffusionTask:
         variables = self.model.init(k_init, x, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32), jnp.ones((1,)))
         params = variables["params"]
         state = new_train_state(params, self.tx, k_run, ema_params=ema_init(params))
-        return common.shard_state(self.mesh, state)
+        return common.shard_state(self.mesh, state, mode=self.cfg.run.param_sharding)
 
     # -- embedding into latent space --------------------------------------------
     def _encode(self, images: jax.Array) -> jax.Array:

@@ -33,7 +33,7 @@ class SpecUNetTask:
         x = jnp.zeros((1, img_size, img_size, 1))
         variables = self.model.init({"params": k_init}, x)
         state = new_train_state(variables["params"], self.tx, k_run)
-        return common.shard_state(self.mesh, state)
+        return common.shard_state(self.mesh, state, mode=self.cfg.run.param_sharding)
 
     def _train_step(self, state: TrainState, mix, noise_spec, bird_spec):
         rng, k_drop = jax.random.split(state.rng)

@@ -47,7 +47,7 @@ class VQVAETask:
         state = new_train_state(
             variables["params"], self.tx, k_run, stats={"codebook": variables["codebook"]}
         )
-        return common.shard_state(self.mesh, state)
+        return common.shard_state(self.mesh, state, mode=self.cfg.run.param_sharding)
 
     def variables(self, state: TrainState):
         """Full variable dict (params + codebook) — what latent diffusion loads."""

@@ -120,6 +120,35 @@ def test_image_folder_pipeline(tmp_path):
     assert len(batches) == 3  # 12 balanced samples / 4
 
 
+def test_iterate_batches_skip_resumes_exact_stream(tmp_path):
+    """skip_batches + a same-seed fresh source replays the identical
+    remaining stream — the mid-epoch resume contract (state.step is the
+    full resume position in cli/train_ddpm.py)."""
+    root = str(tmp_path / "train")
+    _make_folder_dataset(root)
+
+    def fresh():
+        return ImageFolderSource(root, bootstrap_balance=True, seed=7, img_size=32)
+
+    full = list(iterate_batches(fresh(), batch_size=4, epochs=2))
+    resumed = list(iterate_batches(fresh(), batch_size=4, epochs=2, skip_batches=4))
+    assert len(resumed) == len(full) - 4
+    for a, b in zip(full[4:], resumed):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+    # epoch-boundary variant: skipping whole epochs via epoch_indices() calls
+    # keeps the shuffle/bootstrap RNG stream aligned (the trainer's skipped-
+    # epoch path)
+    src = fresh()
+    src.epoch_indices()
+    second_epoch = list(iterate_batches(src, batch_size=4, epochs=1))
+    n_per_epoch = len(full) // 2
+    for a, b in zip(full[n_per_epoch:], second_epoch):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
 def test_synthetic_mix(tmp_path):
     import pandas as pd
 

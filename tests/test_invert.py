@@ -7,7 +7,6 @@ projection, and the full chain reproduces the input's log-mel spectrogram.
 """
 
 import numpy as np
-import pytest
 
 from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig, logmel_spectrogram
 
