@@ -211,6 +211,21 @@ def _bench_ddpm(num_classes=27):
     out["ddpm_train_images_per_sec_per_chip_batch32"] = 32 / dt32
     if flops32 is not None:
         out["ddpm_train_mfu_pct_batch32"] = _mfu(flops32, dt32)
+
+    # gradient accumulation: effective batch 128 = 4 microbatches × the
+    # 32/chip HBM capacity (cfg.grad_accum; lax.scan inside the jitted step)
+    # — batches past what activations can fit, at one optimizer update
+    import dataclasses
+
+    task_ga = DiffusionTask(
+        dataclasses.replace(cfg, grad_accum=4), mesh, total_steps=100, vq_variables=vq_vars
+    )
+    state_ga = task_ga.init_state(0)
+    step_ga = task_ga.make_train_step()
+    imgs128 = jax.random.uniform(jax.random.PRNGKey(4), (128, 256, 256, 1))
+    labs128 = jnp.zeros((128,), jnp.int32)
+    dt128 = _time_train_step(step_ga, state_ga, imgs128, labs128, iters=8)
+    out["ddpm_train_images_per_sec_per_chip_batch128_accum4"] = 128 / dt128
     return out
 
 

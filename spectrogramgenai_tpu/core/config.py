@@ -85,6 +85,13 @@ class DDPMConfig:
     # throughput sweet spot — the 4096-token d=16 attention scales
     # super-linearly with batch, so larger chains LOWER samples/sec.
     compute_dtype: str = "bfloat16"  # replaces fp16 autocast + GradScaler
+    # Gradient accumulation: split each data.batch_size batch into this many
+    # microbatches inside the jitted step (lax.scan) and apply ONE optimizer
+    # update on the averaged grads — effective batches past the per-chip HBM
+    # activation capacity (~32/chip for latent DDPM on 16 GB) at one
+    # microbatch's activation memory. data.batch_size must be divisible by
+    # grad_accum × mesh data size.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,14 +130,50 @@ class DiffusionTask:
     # -- train ------------------------------------------------------------------
     def _train_step(self, state: TrainState, images: jax.Array, labels: jax.Array):
         rng, step_key = jax.random.split(state.rng)
-        x = self._encode(images)
 
-        def loss_fn(params):
+        def loss_fn(params, imgs, labs, key):
+            x = self._encode(imgs)
             return diffusion_loss(
-                self._apply, params, self.schedule, x, labels, step_key, self.cfg.label_drop
+                self._apply, params, self.schedule, x, labs, key, self.cfg.label_drop
             )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        k = max(1, int(self.cfg.grad_accum))
+        if k == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, images, labels, step_key)
+        else:
+            # Gradient accumulation: lax.scan over k microbatches keeps only
+            # one microbatch's activations live (the VQ encode included), so
+            # the effective batch scales past per-chip HBM capacity. Each
+            # microbatch draws its own t/noise/CFG-drop (keys split from the
+            # step key); grads are averaged → one optimizer + EMA update,
+            # exactly as if the loader had yielded k separate steps' worth of
+            # data under one LR-schedule tick.
+            n = images.shape[0]
+            if n % k:
+                raise ValueError(f"batch {n} not divisible by grad_accum={k}")
+            b = n // k
+            imgs = images.reshape(k, b, *images.shape[1:])
+            labs = labels.reshape(k, b)
+            if self.mesh.shape[DATA_AXIS] > 1:
+                # keep each microbatch sharded over the data axis (the k axis
+                # is a time axis of the scan, never materialized per device)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                s = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
+                imgs = jax.lax.with_sharding_constraint(imgs, s)
+                labs = jax.lax.with_sharding_constraint(labs, s)
+            keys = jax.random.split(step_key, k)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                im, la, ke = xs
+                li, gi = jax.value_and_grad(loss_fn)(state.params, im, la, ke)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, gi), l_acc + li), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), _ = jax.lax.scan(body, (zeros, jnp.zeros((), jnp.float32)), (imgs, labs, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+            loss = l_sum / k
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         ema_params = ema_update(state.ema_params, params, state.step, self.cfg.ema_beta, self.cfg.ema_start)

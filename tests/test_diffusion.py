@@ -98,6 +98,68 @@ def test_tensor_parallel_mesh_compiles():
     assert np.isfinite(float(m["train_mse"]))
 
 
+def test_grad_accum_matches_manual_microbatch_mean():
+    """grad_accum=k: ONE optimizer update on the mean of k microbatch grads
+    (each microbatch drawing its own t/noise/drop from keys split off the
+    step key) — verified against the same math computed by hand, on the
+    8-device DP mesh."""
+    from spectrogramgenai_tpu.diffusion.ddpm import diffusion_loss
+
+    cfg = tiny_cfg(grad_accum=2)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    task = DiffusionTask(cfg, mesh, total_steps=10)
+    state = task.init_state(0)
+
+    rng = np.random.default_rng(3)
+    images = rng.uniform(0, 1, size=(16, 16, 16, 1)).astype(np.float32)
+    labels = rng.integers(0, cfg.num_classes, size=(16,)).astype(np.int32)
+
+    # expected params, computed BEFORE the donating step consumes the state
+    _, step_key = jax.random.split(state.rng)
+    keys = jax.random.split(step_key, 2)
+
+    def loss_fn(params, imgs, labs, key):
+        x = task._encode(imgs)
+        return diffusion_loss(task._apply, params, task.schedule, x, labs, key, cfg.label_drop)
+
+    g0 = jax.grad(loss_fn)(state.params, jnp.asarray(images[:8]), jnp.asarray(labels[:8]), keys[0])
+    g1 = jax.grad(loss_fn)(state.params, jnp.asarray(images[8:]), jnp.asarray(labels[8:]), keys[1])
+    g_mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+    updates, _ = task.tx.update(g_mean, state.opt_state, state.params)
+    expected = jax.tree_util.tree_map(lambda p, u: np.asarray(p + u), state.params, updates)
+
+    step = task.make_train_step()
+    batch = shard_batch(mesh, {"image": images, "label": labels})
+    new_state, m = step(state, batch["image"], batch["label"])
+    assert np.isfinite(float(m["train_mse"]))
+    assert int(new_state.step) == 1  # k microbatches = ONE step/schedule tick
+    for a, b in zip(
+        jax.tree_util.tree_leaves(expected), jax.tree_util.tree_leaves(new_state.params)
+    ):
+        # atol covers cross-device psum reduction-order noise vs the manual
+        # single-host computation
+        np.testing.assert_allclose(np.asarray(b), a, rtol=5e-5, atol=5e-7)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = tiny_cfg(grad_accum=3)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    task = DiffusionTask(cfg, mesh, total_steps=10)
+    state = task.init_state(0)
+    batch = shard_batch(
+        mesh,
+        {
+            "image": np.zeros((8, 16, 16, 1), np.float32),
+            "label": np.zeros((8,), np.int32),
+        },
+    )
+    try:
+        task.make_train_step()(state, batch["image"], batch["label"])
+        raise AssertionError("expected ValueError for batch 8 with grad_accum=3")
+    except ValueError as e:
+        assert "grad_accum" in str(e)
+
+
 def test_data_parallel_sampling():
     """Sampling shards the label batch over the data axis (8 virtual devices)."""
     cfg = tiny_cfg(num_classes=8)
