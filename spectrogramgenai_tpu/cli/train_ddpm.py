@@ -110,7 +110,7 @@ def run(cfg):
             if vals:
                 logger.log(step_i, epoch=epoch, val_mse=float(np.mean(vals)))
         if epoch % cfg.log_every_epoch == 0 or epoch == cfg.epochs - 1:
-            _log_images(task, state, run_dir, epoch)
+            _log_images(task, state, run_dir, epoch, logger=logger, step=step_i)
         if epoch % cfg.run.ckpt_every_epochs == 0 or epoch == cfg.epochs - 1:
             saved_dir = ckpt.save(step_i, state)
             # wandb Artifact parity (diff_modules.py:513-523); no-op w/o wandb
@@ -121,7 +121,7 @@ def run(cfg):
     return state
 
 
-def _log_images(task, state, run_dir: str, epoch: int):
+def _log_images(task, state, run_dir: str, epoch: int, logger=None, step: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -133,6 +133,10 @@ def _log_images(task, state, run_dir: str, epoch: int):
     out = os.path.join(run_dir, f"samples_epoch_{epoch:04d}")
     for i, img in enumerate(imgs):
         save_generated_png(img, os.path.join(out, f"class_{i:02d}.png"))
+    if logger is not None:
+        # wandb sampled-image panel parity (diff_modules.py:482-487); the
+        # PNGs above are the offline record, this is a one-row class strip
+        logger.log_images(step, {"sampled_classes": np.concatenate(imgs[..., 0], axis=1)})
 
 
 def main(argv=None):

@@ -65,6 +65,18 @@ class MetricsLogger:
         self._wandb.log_artifact(at)
         return True
 
+    def log_images(self, step: int, images: dict) -> bool:
+        """Log image panels (HWC/HW uint8 or float arrays) to wandb — the
+        reference's per-log_images_epoch sampled-image panels
+        (diff_modules.py:482-487,570). No-op (returns False) without wandb;
+        the PNGs on disk under the run dir remain the offline record."""
+        if self._wandb is None:
+            return False
+        self._wandb.log(
+            {name: self._wandb.Image(img) for name, img in images.items()}, step=step
+        )
+        return True
+
     def log_csv_row(self, row: dict):
         """Append a row to the run CSV (reference-schema mirror)."""
         if self._csv_path is None:

@@ -136,6 +136,38 @@ def test_metrics_log_artifact(tmp_path, monkeypatch):
     assert logged[1].files == [str(ckpt_dir / "state.msgpack")]
 
 
+def test_metrics_log_images(tmp_path, monkeypatch):
+    """Sampled-image panels (diff_modules.py:482-487 parity): no-op without
+    wandb; with wandb, one wandb.Image per named panel at the given step."""
+    import sys
+    import types
+
+    import numpy as np
+
+    run_dir = str(tmp_path / "run")
+    panel = np.zeros((8, 24), np.uint8)
+
+    with MetricsLogger(run_dir) as m:  # no wandb → no-op
+        assert m.log_images(1, {"sampled": panel}) is False
+
+    calls = []
+
+    class FakeImage:
+        def __init__(self, arr):
+            self.arr = arr
+
+    fake = types.SimpleNamespace(
+        run=object(), init=lambda **kw: None, finish=lambda: None,
+        Image=FakeImage, log=lambda d, step=None: calls.append((d, step)))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    with MetricsLogger(run_dir, use_wandb=True) as m:
+        assert m.log_images(7, {"sampled": panel}) is True
+    assert len(calls) == 1
+    d, step = calls[0]
+    assert step == 7 and isinstance(d["sampled"], FakeImage)
+    assert d["sampled"].arr.shape == (8, 24)
+
+
 def test_mesh_shapes():
     mesh = create_mesh(MeshSpec(data=-1, model=2))
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
