@@ -54,7 +54,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="models/ddpm_sampler.shlo")
     p.add_argument("--num_labels", type=int, default=27)
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpmpp"])
     p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--platforms", default=None,

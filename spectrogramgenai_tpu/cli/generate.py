@@ -194,9 +194,10 @@ def main(argv=None):
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--sav_denoise_path", default=None)
     p.add_argument("--use_ema", type=int, default=0)
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
-                   help="ddpm = reference-parity 999-step chain; ddim = fast sampler")
-    p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpmpp"],
+                   help="ddpm = reference-parity 999-step chain; ddim = fast 1st-order "
+                        "sampler; dpmpp = DPM-Solver++(2M), 2nd-order (~20 steps)")
+    p.add_argument("--num_steps", type=int, default=50, help="DDIM/DPM-Solver++ steps")
     p.add_argument("--artifact", default=None,
                    help="generate from an exported StableHLO sampler "
                         "(cli.export_model) instead of a checkpoint")

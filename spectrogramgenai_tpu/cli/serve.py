@@ -93,7 +93,7 @@ def main(argv=None):
                         "the measured v5e sweet spot)")
     p.add_argument("--max_delay_ms", type=float, default=50.0,
                    help="dynamic-batching coalescing window")
-    p.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim"])
+    p.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim", "dpmpp"])
     p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--artifact", default=None,

@@ -4,6 +4,8 @@ from spectrogramgenai_tpu.diffusion.ddpm import (
     q_sample,
     diffusion_loss,
     ddpm_sample,
+    ddim_sample,
+    dpmpp_sample,
     to_uint8,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "q_sample",
     "diffusion_loss",
     "ddpm_sample",
+    "ddim_sample",
+    "dpmpp_sample",
     "to_uint8",
 ]

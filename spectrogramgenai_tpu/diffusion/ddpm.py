@@ -195,6 +195,87 @@ def ddim_sample(
     return x
 
 
+def dpmpp_sample(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    labels: jax.Array,
+    sample_shape: tuple[int, ...],
+    num_steps: int = 20,
+    cfg_scale: float = 3.0,
+) -> jax.Array:
+    """DPM-Solver++(2M) (Lu et al. 2022, arXiv 2211.01095): second-order
+    multistep ODE solver in data-prediction (x0) space with exponential
+    integrator steps sized in log-SNR (λ).
+
+    A capability BEYOND the reference (diff_modules.py:630-707 only has the
+    999-step ancestral chain): second-order accuracy means ~15-25 steps match
+    DDIM-50 quality, at the SAME per-step cost (one batched-CFG UNet forward).
+    One lax.scan, one jit — the multistep history (previous x0 prediction)
+    rides the scan carry, so there is no extra model evaluation anywhere.
+
+    Update rule (paper Algorithm 2), stepping node k → k+1 with
+    h_k = λ_{k+1} − λ_k  and  r_k = h_{k−1}/h_k:
+
+        D_k     = (1 + 1/(2 r_k))·x0_k − 1/(2 r_k)·x0_{k−1}     (D_0 = x0_0)
+        x_{k+1} = (σ_{k+1}/σ_k)·x_k − α_{k+1}·expm1(−h_k)·D_k
+
+    All per-step coefficients are host-precomputed NumPy scalars streamed to
+    the scan as xs — nothing data-dependent is traced.
+    """
+    n = labels.shape[0]
+    x0_init = jax.random.normal(key, (n, *sample_shape), jnp.float32)
+    use_cfg = cfg_scale > 0
+
+    ts = np.linspace(schedule.noise_steps - 1, 0, num_steps + 1).round().astype(np.int32)
+    if len(np.unique(ts)) != len(ts):
+        raise ValueError(
+            f"num_steps={num_steps} too large for a {schedule.noise_steps}-step "
+            "schedule: timestep subsequence has duplicates (h=0)")
+    ah = schedule.alpha_hat[ts].astype(np.float64)
+    alpha = np.sqrt(ah)
+    sigma = np.sqrt(1.0 - ah)
+    lam = np.log(alpha / sigma)
+    h = lam[1:] - lam[:-1]  # (num_steps,), > 0
+
+    # second-order correction weight: c2_k = 1/(2 r_k) = h_k / (2 h_{k-1});
+    # c2_0 = 0 makes the first step collapse to first order (D_0 = x0_0)
+    # without a branch in the scan body.
+    c2 = np.concatenate([[0.0], h[1:] / (2.0 * h[:-1])])
+
+    xs = {
+        "t": jnp.asarray(ts[:-1], jnp.float32),
+        "a_k": jnp.asarray(alpha[:-1], jnp.float32),
+        "s_k": jnp.asarray(sigma[:-1], jnp.float32),
+        "sig_ratio": jnp.asarray(sigma[1:] / sigma[:-1], jnp.float32),
+        "coef": jnp.asarray(-alpha[1:] * np.expm1(-h), jnp.float32),
+        "c2": jnp.asarray(c2, jnp.float32),
+    }
+
+    def step(carry, c):
+        x, prev_x0 = carry
+        t = jnp.full((n,), c["t"], jnp.float32)
+        if use_cfg:
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.concatenate([t, t], axis=0)
+            yy = jnp.concatenate([labels, labels], axis=0)
+            mask = jnp.concatenate([jnp.ones((n,)), jnp.zeros((n,))], axis=0)
+            eps = apply_fn(params, xx, tt, yy, mask)
+            cond, uncond = eps[:n], eps[n:]
+            eps = uncond + cfg_scale * (cond - uncond)
+        else:
+            eps = apply_fn(params, x, t, labels, jnp.ones((n,)))
+
+        x0 = (x - c["s_k"] * eps) / c["a_k"]
+        d = (1.0 + c["c2"]) * x0 - c["c2"] * prev_x0
+        x = c["sig_ratio"] * x + c["coef"] * d
+        return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(step, (x0_init, jnp.zeros_like(x0_init)), xs)
+    return x
+
+
 def to_uint8(x: jax.Array) -> jax.Array:
     """clamp(-1,1) → [0,255] uint8 (diff_modules.py:440-442)."""
     x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0

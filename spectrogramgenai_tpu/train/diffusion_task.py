@@ -31,6 +31,7 @@ from spectrogramgenai_tpu.data.transforms import renorm_m1_1
 from spectrogramgenai_tpu.diffusion.ddpm import (
     DiffusionSchedule,
     ddim_sample,
+    dpmpp_sample,
     ddpm_sample,
     diffusion_loss,
     linear_schedule,
@@ -200,6 +201,9 @@ class DiffusionTask:
         if sampler == "ddim":
             x = ddim_sample(self._apply_sample, params, self.schedule, key, labels, shape,
                             num_steps=num_steps, cfg_scale=cfg_scale)
+        elif sampler == "dpmpp":
+            x = dpmpp_sample(self._apply_sample, params, self.schedule, key, labels, shape,
+                             num_steps=num_steps, cfg_scale=cfg_scale)
         else:
             x = ddpm_sample(self._apply_sample, params, self.schedule, key, labels, shape,
                             cfg_scale=cfg_scale)

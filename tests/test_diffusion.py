@@ -271,3 +271,89 @@ def test_remat_flag_is_math_neutral_and_cpu_defaults_on():
         create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1]),
         total_steps=1)
     assert task.model.remat_attention  # CPU backend → einsum path → remat on
+
+
+def test_dpmpp_exact_on_constant_x0_model():
+    """DPM-Solver++(2M) correctness oracle: for a model whose data prediction
+    is a constant c, the probability-flow ODE has the closed-form solution
+    x_t = α_t·c + σ_t·ε₀, and every exponential-integrator step is EXACT —
+    so the sampler must land on α_0·c + σ_0·ε₀ to float tolerance at ANY
+    step count (4 and 20 here)."""
+    from spectrogramgenai_tpu.diffusion.ddpm import dpmpp_sample
+
+    s = linear_schedule(1000, 1e-4, 0.02)
+    c = 0.37
+    ah = jnp.asarray(s.alpha_hat)
+
+    def apply_fn(params, x, t, labels, mask):
+        a = jnp.sqrt(ah[t.astype(jnp.int32)]).reshape(-1, 1, 1, 1)
+        sg = jnp.sqrt(1.0 - ah[t.astype(jnp.int32)]).reshape(-1, 1, 1, 1)
+        return (x - a * c) / sg  # ε̂ such that x0̂ = c exactly
+
+    labels = jnp.zeros((3,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    e0 = np.asarray(jax.random.normal(key, (3, 8, 8, 1), jnp.float32))
+    expect = np.sqrt(s.alpha_hat[0]) * c + np.sqrt(1.0 - s.alpha_hat[0]) * e0
+    for steps in (4, 20):
+        x = dpmpp_sample(apply_fn, None, s, key, labels, (8, 8, 1),
+                         num_steps=steps, cfg_scale=0.0)
+        np.testing.assert_allclose(np.asarray(x), expect, atol=5e-4)
+
+
+def test_dpmpp_second_order_beats_ddim():
+    """DDIM and DPM-Solver++(2M) integrate the SAME probability-flow ODE
+    (DDIM η=0 is exactly the first-order exponential integrator in x0 space),
+    so both converge to the same limit as steps → ∞. On a smooth analytic
+    model with time-varying data prediction — where the asymptotic-order
+    regime actually holds, unlike a random-init UNet whose ε is wild — the
+    2nd-order multistep solution must be strictly closer to a many-step
+    converged reference at equal step counts, and by a wide margin."""
+    from spectrogramgenai_tpu.diffusion.ddpm import ddim_sample, dpmpp_sample
+
+    s = linear_schedule(1000, 1e-4, 0.02)
+    ah = jnp.asarray(s.alpha_hat)
+    base = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 1))
+
+    def apply_fn(params, x, t, labels, mask):
+        # analytic, smoothly t-dependent data prediction:
+        #   x0̂(t) = base · 0.5·sin(2π t / T)
+        ti = t.astype(jnp.int32)
+        a = jnp.sqrt(ah[ti]).reshape(-1, 1, 1, 1)
+        sg = jnp.sqrt(1.0 - ah[ti]).reshape(-1, 1, 1, 1)
+        x0 = base * (0.5 * jnp.sin(2.0 * jnp.pi * t / 1000.0)).reshape(-1, 1, 1, 1)
+        return (x - a * x0) / sg
+
+    labels = jnp.zeros((4,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    shape = (8, 8, 1)
+    kw = dict(cfg_scale=0.0)  # pure ODE, one forward/step
+
+    ref = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=500, **kw)
+    ddim10 = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=10, **kw)
+    dpmpp10 = dpmpp_sample(apply_fn, None, s, key, labels, shape, num_steps=10, **kw)
+    err_ddim = float(jnp.mean((ddim10 - ref) ** 2))
+    err_dpmpp = float(jnp.mean((dpmpp10 - ref) ** 2))
+    assert err_dpmpp < 0.5 * err_ddim, (err_dpmpp, err_ddim)
+
+
+def test_dpmpp_runs_through_task():
+    """Task-level dispatch: sampler="dpmpp" returns uint8 images of the right
+    shape on the 8-device mesh."""
+    cfg = tiny_cfg()
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    task = DiffusionTask(cfg, mesh, total_steps=10)
+    state = task.init_state(0)
+    labels = jnp.arange(cfg.num_classes)
+    imgs = task.sample(state, jax.random.PRNGKey(0), labels, sampler="dpmpp", num_steps=8)
+    assert imgs.shape == (cfg.num_classes, 16, 16, 1) and imgs.dtype == jnp.uint8
+
+
+def test_dpmpp_rejects_duplicate_timesteps():
+    import pytest
+
+    from spectrogramgenai_tpu.diffusion.ddpm import dpmpp_sample
+
+    s = linear_schedule(8, 1e-4, 0.02)
+    with pytest.raises(ValueError, match="duplicates"):
+        dpmpp_sample(lambda *a: a[1], None, s, jax.random.PRNGKey(0),
+                     jnp.zeros((1,), jnp.int32), (4, 4, 1), num_steps=20)
