@@ -17,11 +17,29 @@ Secondary keys (same JSON object):
 
 Any failed section logs its traceback to stderr and lands in the JSON's
 "errors" map — regressions cannot hide behind nulls.
+
+Timeout-proofing (the r3 official record was rc=124/unparseable because the
+driver's time limit hit mid-run and the single final JSON line never
+printed):
+  * After EVERY section the full cumulative JSON is printed as one complete
+    stdout line — the driver parses the last line, so an external kill still
+    yields a valid, maximal record (with "bench_incomplete": true).
+  * An elapsed-time budget guard (BENCH_BUDGET_S, default 780 s) skips any
+    section whose estimated cost no longer fits; skipped names land in
+    "skipped_sections" instead of silently vanishing.
+  * Sections run BASELINE-critical-first (mel headline, DDPM chain + ratios)
+    so the contract numbers are always captured, even on a cold cache.
+  * CPU reference baselines are PINNED (tools/cpu_baselines.json — fastest
+    ever measured on an idle host = hardest baseline; this 1-core VM's load
+    wobbled the denominator 40% between r2 and r3 when re-measured live).
+    bench only runs a cheap consistency spot-check; full re-measurement is
+    behind BENCH_MEASURE_CPU=1.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -29,6 +47,13 @@ import traceback
 import numpy as np
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+
+_PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "cpu_baselines.json")
+
+
+def _load_pins() -> dict:
+    with open(_PIN_PATH) as f:
+        return json.load(f)
 
 
 def _flops_of(jitted, *args, **kwargs):
@@ -95,22 +120,37 @@ def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing 
     dt = timeit_device(fn, xa, iters=iters)
     dev_specs_per_sec = batch / dt
 
-    # CPU reference: identical math (librosa-parity), NumPy/pocketfft.
-    # Best-of-N single-clip timings: robust to transient machine load and
-    # conservative for the speedup ratio (fastest CPU = hardest baseline).
-    per_clip = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        reference_logmel_np(audio[i], cfg)
-        per_clip.append(time.perf_counter() - t0)
-    cpu_specs_per_sec = 1.0 / min(per_clip)
+    # CPU reference (identical librosa-parity math, NumPy/pocketfft): PINNED
+    # idle-host constant (tools/cpu_baselines.json — fastest ever measured =
+    # hardest baseline). A one-clip spot-check rides along so drift in the
+    # reference math itself cannot hide behind the pin; full re-measurement
+    # is behind BENCH_MEASURE_CPU=1 (see tools/pin_cpu_baselines.py).
+    pins = _load_pins()
+    cpu_specs_per_sec = pins["mel"]["specs_per_sec"]
+    reference_logmel_np(audio[0], cfg)  # warm
+    t0 = time.perf_counter()
+    reference_logmel_np(audio[1], cfg)
+    spot_sps = 1.0 / (time.perf_counter() - t0)
+    if os.environ.get("BENCH_MEASURE_CPU"):
+        per_clip = []
+        for i in range(6):
+            t0 = time.perf_counter()
+            reference_logmel_np(audio[i], cfg)
+            per_clip.append(time.perf_counter() - t0)
+        spot_sps = 1.0 / min(per_clip)
 
     # Parity check rides along so the number is honest.
     got = np.asarray(fn(xa[:2]))
     ref = np.stack([reference_logmel_np(audio[i], cfg) for i in range(2)])
     max_err_db = float(np.abs(got - ref).max())
 
-    extra = {}
+    extra = {
+        "cpu_mel_pinned": True,
+        "cpu_mel_spot_specs_per_sec": round(spot_sps, 2),
+        # >1 means this run's host is slower than the pinned idle baseline
+        # (ratios stay honest because the denominator doesn't move with load)
+        "cpu_mel_pin_over_spot": round(cpu_specs_per_sec / spot_sps, 2),
+    }
     if on_tpu:
         # "high" mode: hand-rolled 3-pass bf16 matmuls (bf16_3x) — measured
         # ~3× the exact-mode throughput at ≲0.05 dB error, ~7× below the
@@ -152,10 +192,11 @@ def _bench_ddpm(num_classes=27):
     device_sync(imgs)
     assert imgs.shape == (num_classes, 256, 256, 1) and imgs.dtype == jnp.uint8
 
-    # best of 3 chains: a single 20 s measurement carries ±3-4% run-to-run
+    # best of 2 chains: a single 20 s measurement carries ±3-4% run-to-run
     # tunnel/host noise, which is most of the r2↔r3 "regression" spread
+    # (was 3 reps; 2 keeps the spread key while freeing ~20 s of budget)
     chain_times = []
-    for rep in range(3):
+    for rep in range(2):
         t0 = time.perf_counter()
         imgs = sampler(state.params, jax.random.PRNGKey(1 + rep), labels, **sample_kw)
         device_sync(imgs)
@@ -292,14 +333,70 @@ def _bench_input_pipeline(n_images=256, batch=32):
 
 
 def _bench_cpu_ddpm_baseline():
-    """Measured torch/CPU reference sampling chain (BASELINE ≥20× contract)."""
-    from tools.cpu_baseline_torch import measure_sampling_baseline
+    """Torch/CPU reference sampling chain (BASELINE ≥20× contract): PINNED
+    idle-host constants (tools/cpu_baselines.json); full re-measurement only
+    with BENCH_MEASURE_CPU=1 — the live value wobbled 40% with host load
+    between r2 and r3 and the measurement itself ate minutes of bench budget."""
+    pins = _load_pins()["ddpm"]
+    out = {
+        "cpu_reference_ddpm_samples_per_sec": pins["samples_per_sec"],
+        "cpu_reference_ddpm_chain_seconds_batch27": pins["chain_seconds_batch27"],
+        "cpu_reference_torch_threads": pins["torch_threads"],
+        "cpu_ddpm_pinned": True,
+    }
+    if os.environ.get("BENCH_MEASURE_CPU"):
+        from tools.cpu_baseline_torch import measure_sampling_baseline
 
-    r = measure_sampling_baseline(batch=27)
+        r = measure_sampling_baseline(batch=27)
+        out.update(
+            cpu_reference_ddpm_samples_per_sec=r["samples_per_sec"],
+            cpu_reference_ddpm_chain_seconds_batch27=r["chain_seconds"],
+            cpu_reference_torch_threads=r["torch_threads"],
+            cpu_ddpm_pinned=False,
+        )
+    return out
+
+
+def _bench_serve_dpmpp(batch=27, requests=4):
+    """Served throughput of the production path: the dynamic-batching sampler
+    (serving/server.py::BatchingSampler) driving the fixed-shape
+    DPM-Solver++(2M) 20-step chain — the serving default since r4. Measures
+    end-to-end wall time through the coalescing queue (submit → futures
+    resolved), not just the raw chain."""
+    import jax
+
+    from spectrogramgenai_tpu.core.config import DDPMConfig, RunConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.models.vqvae import VQVAE
+    from spectrogramgenai_tpu.serving.server import BatchingSampler
+    from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
+
+    import jax.numpy as jnp
+
+    cfg = DDPMConfig(img_size=256, latent=True, num_classes=batch, run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    vq = VQVAE(latent_dim=cfg.latent_dim, dtype=jnp.bfloat16)
+    vq_vars = vq.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 256, 256, 1)))
+    task = DiffusionTask(cfg, mesh, total_steps=100, vq_variables=vq_vars)
+    state = task.init_state(0)
+
+    sampler = BatchingSampler(task, state, batch_size=batch, max_delay_ms=20.0,
+                              sampler="dpmpp", num_steps=20)
+    try:
+        sampler.submit(0, count=batch).result(timeout=900)  # compile + warm
+        t0 = time.perf_counter()
+        futs = [sampler.submit(i % batch, count=batch) for i in range(requests)]
+        for f in futs:
+            f.result(timeout=900)
+        dt = time.perf_counter() - t0
+    finally:
+        sampler.close()
+    n_imgs = requests * batch
+    stats = sampler.snapshot_stats()
     return {
-        "cpu_reference_ddpm_samples_per_sec": r["samples_per_sec"],
-        "cpu_reference_ddpm_chain_seconds_batch27": r["chain_seconds"],
-        "cpu_reference_torch_threads": r["torch_threads"],
+        "serve_dpmpp20_images_per_sec_per_chip": n_imgs / dt,
+        "serve_dpmpp20_batch": batch,
+        "serve_dpmpp20_mean_occupancy": stats.get("mean_occupancy"),
     }
 
 
@@ -462,61 +559,98 @@ def main():
 
     from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
 
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "780"))
     errors: dict[str, str] = {}
+    section_seconds: dict[str, float] = {}
+    result: dict = {}
 
-    def section(name, fn):
-        print(f"bench: {name}…", file=sys.stderr, flush=True)
-        try:
-            r = fn()
-            # partial results survive an external timeout of the whole run
-            print(f"bench: {name} done {json.dumps(r)}", file=sys.stderr, flush=True)
-            return r
-        except Exception as e:
-            traceback.print_exc()
-            errors[name] = f"{type(e).__name__}: {e}"
-            return {}
+    # (name, fn, estimated cost in seconds with a WARM persistent compile
+    # cache — tuned from measured runs; the guard skips a section when its
+    # estimate no longer fits the remaining budget, so a cold cache or slow
+    # tunnel degrades to a partial-but-parseable record, never an rc!=0)
+    sections = [
+        ("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline, 1),  # pinned — free
+        ("ddpm", _bench_ddpm, 240),
+        ("invert", _bench_invert, 40),
+        ("input_pipeline", _bench_input_pipeline, 25),
+        ("vqvae", _bench_vqvae, 40),
+        ("acgan", _bench_acgan, 40),
+        ("specunet", _bench_specunet, 55),
+        ("classifier", lambda: _bench_classifier(capacity_batch=256), 70),
+        ("acgan_capacity", _bench_acgan_capacity, 25),
+        ("serve_dpmpp", _bench_serve_dpmpp, 60),
+        ("classifier_sweep", _bench_classifier_sweep, 150),
+    ]
+    skipped = [name for name, _, _ in sections]
+
+    def emit(incomplete: bool):
+        """Print the full cumulative record as one stdout line. The driver
+        parses the LAST line, so every section boundary leaves a valid,
+        maximal record behind (r3's single final print was killed mid-run)."""
+        out = dict(result)
+        ips = out.get("input_pipeline_images_per_sec_per_core")
+        train_ips = out.get("ddpm_train_images_per_sec_per_chip_batch32")
+        if ips and train_ips:
+            # host cores needed to keep one chip's capacity-batch trainer fed
+            out["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
+        tpu_sps = out.get("ddpm_sampling_samples_per_sec_per_chip")
+        cpu_ddpm = out.get("cpu_reference_ddpm_samples_per_sec")
+        if tpu_sps and cpu_ddpm:
+            out["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
+        out = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in out.items()}
+        if errors:
+            out["errors"] = errors
+        if skipped:
+            out["skipped_sections"] = list(skipped)
+        if incomplete:
+            out["bench_incomplete"] = True
+        out["section_seconds"] = {k: round(v, 1) for k, v in section_seconds.items()}
+        out["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        out["backend"] = jax.default_backend()
+        print(json.dumps(out), flush=True)
+        return out
 
     cfg = SpectrogramConfig(sample_rate=22050)
     print("bench: mel…", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     dev_sps, cpu_sps, max_err_db, mel_extra = _bench_mel(cfg)  # headline — let it raise
+    section_seconds["mel"] = time.perf_counter() - t0
     print(f"bench: mel done ({dev_sps:.0f}/s)", file=sys.stderr, flush=True)
 
-    result = {
+    result.update({
         "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
         "value": round(dev_sps, 1),
         "unit": "specs/sec",
         "vs_baseline": round(dev_sps / cpu_sps, 1),
         "cpu_reference_specs_per_sec": round(cpu_sps, 2),
         "mel_parity_max_err_db": round(max_err_db, 6),
-    }
+    })
     result.update(mel_extra)
-    result.update(section("ddpm", _bench_ddpm))
-    result.update(section("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline))
-    result.update(section("acgan", _bench_acgan))
-    result.update(section("acgan_capacity", _bench_acgan_capacity))
-    result.update(section("vqvae", _bench_vqvae))
-    result.update(section("specunet", _bench_specunet))
-    result.update(section("classifier", lambda: _bench_classifier(capacity_batch=256)))
-    result.update(section("classifier_sweep", _bench_classifier_sweep))
-    result.update(section("invert", _bench_invert))
-    result.update(section("input_pipeline", _bench_input_pipeline))
+    emit(incomplete=True)
 
-    ips = result.get("input_pipeline_images_per_sec_per_core")
-    train_ips = result.get("ddpm_train_images_per_sec_per_chip_batch32")
-    if ips and train_ips:
-        # host cores needed to keep one chip's capacity-batch trainer fed
-        result["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
+    for name, fn, est in sections:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < est:
+            print(f"bench: SKIP {name} (est {est}s > {remaining:.0f}s left of "
+                  f"BENCH_BUDGET_S={budget:.0f})", file=sys.stderr, flush=True)
+            continue
+        print(f"bench: {name}…", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            result.update(r)
+            print(f"bench: {name} done {json.dumps(r)}", file=sys.stderr, flush=True)
+        except Exception as e:
+            traceback.print_exc()
+            errors[name] = f"{type(e).__name__}: {e}"
+        section_seconds[name] = time.perf_counter() - t0
+        skipped.remove(name)
+        emit(incomplete=True)
 
-    tpu_sps = result.get("ddpm_sampling_samples_per_sec_per_chip")
-    cpu_ddpm = result.get("cpu_reference_ddpm_samples_per_sec")
-    if tpu_sps and cpu_ddpm:
-        result["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
-
-    result = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in result.items()}
-    if errors:
-        result["errors"] = errors
-    result["backend"] = jax.default_backend()
-    print(json.dumps(result))
+    # final line: the complete record (the only one without bench_incomplete;
+    # any sections still in `skipped` were budget-skipped, not lost)
+    emit(incomplete=False)
 
 
 if __name__ == "__main__":
