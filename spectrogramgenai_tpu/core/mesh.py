@@ -38,19 +38,34 @@ class MeshSpec:
 def maybe_initialize_distributed() -> bool:
     """Multi-host bring-up over DCN (SURVEY.md §2.5 rebuild table).
 
-    When the standard cluster env vars are present (JAX_COORDINATOR_ADDRESS /
-    JAX standard envs), call jax.distributed.initialize so jax.devices() spans
-    all hosts; single-host runs are untouched. Returns True if initialized.
+    When coordinator env vars are present, call jax.distributed.initialize so
+    jax.devices() spans all hosts; single-host runs are untouched. Explicit
+    envs (the portable path, no cluster auto-detection needed):
+
+        JAX_COORDINATOR_ADDRESS=host:port  JAX_NUM_PROCESSES=N  JAX_PROCESS_ID=i
+
+    With only the address set, jax's own cluster detection fills in the rest
+    (TPU pod / Slurm environments). Returns True if initialized. Executed for
+    real by tests/test_multiprocess.py (2 processes × 4 virtual CPU devices,
+    gloo cross-process collectives).
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        import jax
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    import jax
 
-        if jax.process_count() == 1:  # not yet initialized
-            jax.distributed.initialize()
-        return True
-    return False
+    # NOT jax.process_count(): that initializes the XLA backend, after which
+    # jax.distributed.initialize() refuses to run.
+    if not jax.distributed.is_initialized():
+        kwargs = {"coordinator_address": addr}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
+    return True
 
 
 def create_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
@@ -75,11 +90,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_slice(n: int) -> slice:
+    """The contiguous rows of an n-row GLOBAL batch owned by this process.
+
+    jax.devices() orders devices by process and create_mesh reshapes that
+    order row-major, so each process's addressable data-axis rows form one
+    contiguous block: process i of P owns rows [i·n/P, (i+1)·n/P).
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    if n % pc:
+        raise ValueError(f"global batch {n} not divisible by process count {pc}")
+    per = n // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """device_put a pytree of host arrays with batch-dim sharding."""
+    """Put a pytree of host arrays onto the mesh with batch-dim sharding.
+
+    Single-process: plain ``jax.device_put`` with a NamedSharding. Multi-host
+    (DCN, ``jax.process_count() > 1``): each process passes only its LOCAL
+    rows — global_batch/process_count of them, which the input pipeline
+    yields natively (``iterate_batches(process_shard=True)``) — and the
+    global array is assembled with jax.make_array_from_process_local_data
+    (device_put of a full host array cannot address other hosts' devices).
+    Executed for real by tests/test_multiprocess.py.
+    """
+    multiproc = jax.process_count() > 1
 
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, ndim=max(1, x.ndim)))
+        sharding = batch_sharding(mesh, ndim=max(1, getattr(x, "ndim", 1)))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -195,7 +195,8 @@ def _collate(samples: list[dict]) -> dict:
 
 def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
                     num_threads: int = 8, epochs: int | None = 1,
-                    skip_batches: int = 0) -> Iterator[dict]:
+                    skip_batches: int = 0,
+                    process_shard: bool | None = None) -> Iterator[dict]:
     """Decode-threaded batch iterator over `source` (host NumPy batches).
 
     Sources exposing ``load_batch(chunk, num_threads=8)`` (whole-batch
@@ -207,7 +208,20 @@ def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
     is still consumed batch-for-batch, so a restarted process (same source
     seed) sees the identical remaining stream the original run would have —
     the train step counter in a checkpoint is the full resume position.
+
+    ``process_shard`` (default: auto — on iff ``jax.process_count() > 1``)
+    is the multi-host input sharding: ``batch_size`` stays the GLOBAL batch,
+    every process draws the same index permutation (sources must be built
+    with the same seed on every host), and each process decodes only its own
+    contiguous rows of each global batch — the rows its addressable devices
+    hold under ``core.mesh.shard_batch``'s
+    jax.make_array_from_process_local_data assembly. skip_batches still
+    counts global batches, so mid-epoch resume composes with multi-host.
     """
+    if process_shard is None:
+        import jax
+
+        process_shard = jax.process_count() > 1
     load_batch = getattr(source, "load_batch", None)
     pool = cf.ThreadPoolExecutor(max_workers=num_threads)
     try:
@@ -221,6 +235,10 @@ def iterate_batches(source, batch_size: int, *, drop_remainder: bool = True,
                     to_skip -= 1
                     continue
                 chunk = idx[start : start + batch_size]
+                if process_shard:
+                    from spectrogramgenai_tpu.core.mesh import process_local_slice
+
+                    chunk = chunk[process_local_slice(len(chunk))]
                 if load_batch is not None:
                     yield load_batch(chunk, num_threads=num_threads)
                 else:
@@ -262,16 +280,28 @@ def padded_eval_batches(source, batch_size: int, mesh):
 
     Eval sets are rarely divisible by the device count; training can drop the
     remainder but evaluation must not (the reference evaluates every sample).
+
+    Multi-host: every process decodes the full global batch here (remainder
+    batches can't split evenly across processes before padding), pads it to a
+    multiple of the data axis, then hands shard_batch only its local rows;
+    ``n`` stays the GLOBAL true count on every host.
     """
-    from spectrogramgenai_tpu.core.mesh import DATA_AXIS, shard_batch
+    import jax
+
+    from spectrogramgenai_tpu.core.mesh import DATA_AXIS, process_local_slice, shard_batch
 
     data_size = mesh.shape[DATA_AXIS]
-    for batch in iterate_batches(source, batch_size, epochs=1, drop_remainder=False):
+    multiproc = jax.process_count() > 1
+    for batch in iterate_batches(source, batch_size, epochs=1, drop_remainder=False,
+                                 process_shard=False):
         n = len(next(iter(batch.values())))
         pad = (-n) % data_size
         if pad:
             batch = {k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
                      for k, v in batch.items()}
+        if multiproc:
+            sl = process_local_slice(n + pad)
+            batch = {k: v[sl] for k, v in batch.items()}
         yield shard_batch(mesh, batch), n
 
 

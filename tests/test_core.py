@@ -211,6 +211,11 @@ def test_maybe_initialize_distributed(monkeypatch):
 
     calls = []
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:12345")
-    monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
     assert mesh_mod.maybe_initialize_distributed() is True
-    assert calls == [1], "expected exactly one jax.distributed.initialize call"
+    assert calls == [{"coordinator_address": "localhost:12345",
+                      "num_processes": 2, "process_id": 1}]
+    # (the REAL 2-process bring-up — gloo collectives, loss parity — is
+    # executed by tests/test_multiprocess.py)
