@@ -7,7 +7,10 @@ weights + schedule + CFG + VQ decode and needs only `serving.export
 
   python -m spectrogramgenai_tpu.cli.export_model --run.run_name ddpm \
       --vqae_ckpt models/vqvae --out models/ddpm_sampler.shlo \
-      --num_labels 27 --sampler ddim --num_steps 50 [--check]
+      --num_labels 27 [--check]
+
+Default sampler is DPM-Solver++(2M) at 20 steps (the serving production
+path); pass --sampler ddpm for the reference's 999-step parity chain.
 """
 
 from __future__ import annotations
@@ -54,8 +57,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="models/ddpm_sampler.shlo")
     p.add_argument("--num_labels", type=int, default=27)
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpmpp"])
-    p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
+    p.add_argument("--sampler", default="dpmpp", choices=["ddpm", "ddim", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M), the serving default; "
+                        "ddpm = the reference 999-step parity chain")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="DDIM/DPM-Solver++ steps (default: 20 for dpmpp, 50 for ddim)")
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets (default: current backend), "
@@ -66,8 +72,9 @@ def main(argv=None):
     cfg = apply_overrides(DDPMConfig(), a)
     setup(cfg.run)
     platforms = a.platforms.split(",") if a.platforms else None
+    num_steps = a.num_steps if a.num_steps else (20 if a.sampler == "dpmpp" else 50)
     run(cfg, out=a.out, num_labels=a.num_labels, sampler=a.sampler,
-        num_steps=a.num_steps, use_ema=bool(a.use_ema), platforms=platforms,
+        num_steps=num_steps, use_ema=bool(a.use_ema), platforms=platforms,
         check=a.check)
 
 

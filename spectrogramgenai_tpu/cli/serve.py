@@ -6,8 +6,12 @@ jitted sampler. Concurrent POST /generate requests coalesce into fixed-shape
 reverse-diffusion chains (no retraces; see serving/server.py for the design).
 
   python -m spectrogramgenai_tpu.cli.serve --run.run_name ddpm \
-      --vqae_ckpt models/vqvae --port 8000 --sampler ddim --num_steps 50 \
-      --serve_batch 27 --train_folder_for_classes datasets/train
+      --vqae_ckpt models/vqvae --port 8000 --serve_batch 27 \
+      --train_folder_for_classes datasets/train
+
+Default sampler is DPM-Solver++(2M) at 20 steps — 2.5× the DDIM-50 serving
+throughput at matched ODE accuracy (see PARITY.md); pass --sampler ddim
+--num_steps 50 (or ddpm for the 999-step parity chain) to override.
 
   curl -X POST localhost:8000/generate -d '{"label": "bird_a", "count": 2}'
   curl localhost:8000/stats
@@ -93,8 +97,11 @@ def main(argv=None):
                         "the measured v5e sweet spot)")
     p.add_argument("--max_delay_ms", type=float, default=50.0,
                    help="dynamic-batching coalescing window")
-    p.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim", "dpmpp"])
-    p.add_argument("--num_steps", type=int, default=50, help="DDIM steps")
+    p.add_argument("--sampler", default="dpmpp", choices=["ddpm", "ddim", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M), the serving default "
+                        "(2.5x DDIM-50 throughput); ddpm = 999-step parity chain")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="DDIM/DPM-Solver++ steps (default: 20 for dpmpp, 50 for ddim)")
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--artifact", default=None,
                    help="serve an exported StableHLO sampler (cli.export_model) "
@@ -121,8 +128,9 @@ def main(argv=None):
     else:
         class_names = [f"class{i:02d}" for i in range(cfg.num_classes)]
 
+    num_steps = a.num_steps if a.num_steps else (20 if a.sampler == "dpmpp" else 50)
     run(cfg, port=a.port, host=a.host, serve_batch=a.serve_batch,
-        max_delay_ms=a.max_delay_ms, sampler=a.sampler, num_steps=a.num_steps,
+        max_delay_ms=a.max_delay_ms, sampler=a.sampler, num_steps=num_steps,
         use_ema=bool(a.use_ema), class_names=class_names, artifact=a.artifact,
         force_batch=a.force_batch, audio_out_sr=a.audio_out_sr,
         audio_gl_iters=a.audio_gl_iters, warm_audio=a.warm_audio)

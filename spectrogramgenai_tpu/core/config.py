@@ -110,6 +110,7 @@ class VQVAEConfig:
     ema_eps: float = 1e-5
     lr: float = 2e-4
     compute_dtype: str = "bfloat16"
+    grad_accum: int = 1  # microbatches per jitted step (train/common.py scan); ONE optimizer update on averaged grads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +131,7 @@ class ACGANConfig:
     use_denoiser: bool = False
     sample_every: int = 100        # eval-noise grids every 100 batches
     compute_dtype: str = "bfloat16"
+    grad_accum: int = 1  # microbatches per jitted step (train/common.py scan); ONE optimizer update on averaged grads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +151,9 @@ class ClassifierConfig:
     kd_alpha: float = 0.7          # helpers.py:708
     use_denoiser: bool = False
     compute_dtype: str = "bfloat16"
+    # grad_accum: the ensemble at effective batch 64 hard-crashed the 16 GB
+    # chip without it — k microbatches per step fit it comfortably
+    grad_accum: int = 1  # microbatches per jitted step (train/common.py scan); ONE optimizer update on averaged grads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +171,7 @@ class SpecUNetConfig:
     lr: float = 1e-3
     mode: str = "separate"
     compute_dtype: str = "bfloat16"
+    grad_accum: int = 1  # microbatches per jitted step (train/common.py scan); ONE optimizer update on averaged grads
 
 
 @dataclasses.dataclass(frozen=True)

@@ -195,6 +195,77 @@ def ddim_sample(
     return x
 
 
+def dpmpp_timesteps(schedule: DiffusionSchedule, num_steps: int) -> np.ndarray:
+    """Solver nodes uniform in log-SNR (λ), mapped to the integer t grid —
+    the DPM-Solver paper's default node choice, and measurably load-bearing:
+    uniform-t spacing leaves the FINAL λ-step ≈1.5 no matter how many steps
+    you take (λ moves fastest at the t→0 tail of the linear-β schedule), so
+    the tail's local error never converges and the 2M correction — whose
+    weight c2 = h_k/(2 h_{k−1}) blows up when h grows step-over-step —
+    amplifies it. Measured on smooth analytic ε-models: uniform-t dpmpp-20
+    is ~30× WORSE than ddim-50; uniform-λ dpmpp-20 is 20-50× BETTER.
+    """
+    if num_steps + 1 > schedule.noise_steps:
+        raise ValueError(
+            f"num_steps={num_steps} too large for a {schedule.noise_steps}-step "
+            "schedule: timestep subsequence has duplicates (h=0)")
+    lam_all = schedule.alpha_hat.astype(np.float64)
+    lam_all = np.log(np.sqrt(lam_all) / np.sqrt(1.0 - lam_all))
+    targets = np.linspace(lam_all[schedule.noise_steps - 1], lam_all[0], num_steps + 1)
+    # λ(t) is monotone decreasing in t — invert by nearest grid point, then
+    # enforce a strictly decreasing t sequence (coarse grids can alias two
+    # λ-targets onto one integer t; nudging costs ≪ one grid step of λ)
+    ts = np.array([int(np.abs(lam_all - L).argmin()) for L in targets], dtype=np.int32)
+    ts[0], ts[-1] = schedule.noise_steps - 1, 0  # pin both chain endpoints
+    for i in range(len(ts) - 2, 0, -1):  # λ moves fastest at t→0: repair
+        ts[i] = max(ts[i], ts[i + 1] + 1)  # from the t=0 anchor outward…
+    for i in range(1, len(ts)):
+        ts[i] = min(ts[i], ts[i - 1] - 1)  # …then settle any top-end overlap
+    if ts[-1] != 0 or np.any(np.diff(ts) >= 0):
+        raise ValueError(
+            f"num_steps={num_steps} too large for a {schedule.noise_steps}-step "
+            "schedule: timestep subsequence has duplicates (h=0)")
+    return ts
+
+
+def dpmpp_coefficients(schedule: DiffusionSchedule, num_steps: int) -> dict:
+    """Host-precomputed per-step scan inputs for :func:`dpmpp_sample`.
+
+    Nodes are uniform in log-SNR (:func:`dpmpp_timesteps`). lower_order_final
+    (official DPM-Solver++ / diffusers behavior): when num_steps < 15 the
+    FINAL step drops to first order (c2[-1] = 0) — a 2nd-order extrapolation
+    through the steep schedule tail can overshoot at very low step counts.
+    At ≥15 steps the final step stays 2nd-order (diffusers applies the guard
+    only below 15), so the 20-step production path keeps full order.
+    """
+    ts = dpmpp_timesteps(schedule, num_steps)
+    if len(np.unique(ts)) != len(ts):
+        raise ValueError(
+            f"num_steps={num_steps} too large for a {schedule.noise_steps}-step "
+            "schedule: timestep subsequence has duplicates (h=0)")
+    ah = schedule.alpha_hat[ts].astype(np.float64)
+    alpha = np.sqrt(ah)
+    sigma = np.sqrt(1.0 - ah)
+    lam = np.log(alpha / sigma)
+    h = lam[1:] - lam[:-1]  # (num_steps,), > 0
+
+    # second-order correction weight: c2_k = 1/(2 r_k) = h_k / (2 h_{k-1});
+    # c2_0 = 0 makes the first step collapse to first order (D_0 = x0_0)
+    # without a branch in the scan body.
+    c2 = np.concatenate([[0.0], h[1:] / (2.0 * h[:-1])])
+    if num_steps < 15:
+        c2[-1] = 0.0  # lower_order_final (see docstring)
+
+    return {
+        "t": jnp.asarray(ts[:-1], jnp.float32),
+        "a_k": jnp.asarray(alpha[:-1], jnp.float32),
+        "s_k": jnp.asarray(sigma[:-1], jnp.float32),
+        "sig_ratio": jnp.asarray(sigma[1:] / sigma[:-1], jnp.float32),
+        "coef": jnp.asarray(-alpha[1:] * np.expm1(-h), jnp.float32),
+        "c2": jnp.asarray(c2, jnp.float32),
+    }
+
+
 def dpmpp_sample(
     apply_fn: Callable,
     params,
@@ -210,10 +281,13 @@ def dpmpp_sample(
     integrator steps sized in log-SNR (λ).
 
     A capability BEYOND the reference (diff_modules.py:630-707 only has the
-    999-step ancestral chain): second-order accuracy means ~15-25 steps match
-    DDIM-50 quality, at the SAME per-step cost (one batched-CFG UNet forward).
-    One lax.scan, one jit — the multistep history (previous x0 prediction)
-    rides the scan carry, so there is no extra model evaluation anywhere.
+    999-step ancestral chain): with uniform-log-SNR nodes
+    (:func:`dpmpp_timesteps`), 20 steps integrate the probability-flow ODE
+    more accurately than 50-step DDIM (measured 20-50× lower solution error
+    on smooth analytic ε-models; see test_dpmpp_second_order_beats_ddim), at
+    the SAME per-step cost (one batched-CFG UNet forward). One lax.scan, one
+    jit — the multistep history (previous x0 prediction) rides the scan
+    carry, so there is no extra model evaluation anywhere.
 
     Update rule (paper Algorithm 2), stepping node k → k+1 with
     h_k = λ_{k+1} − λ_k  and  r_k = h_{k−1}/h_k:
@@ -227,31 +301,7 @@ def dpmpp_sample(
     n = labels.shape[0]
     x0_init = jax.random.normal(key, (n, *sample_shape), jnp.float32)
     use_cfg = cfg_scale > 0
-
-    ts = np.linspace(schedule.noise_steps - 1, 0, num_steps + 1).round().astype(np.int32)
-    if len(np.unique(ts)) != len(ts):
-        raise ValueError(
-            f"num_steps={num_steps} too large for a {schedule.noise_steps}-step "
-            "schedule: timestep subsequence has duplicates (h=0)")
-    ah = schedule.alpha_hat[ts].astype(np.float64)
-    alpha = np.sqrt(ah)
-    sigma = np.sqrt(1.0 - ah)
-    lam = np.log(alpha / sigma)
-    h = lam[1:] - lam[:-1]  # (num_steps,), > 0
-
-    # second-order correction weight: c2_k = 1/(2 r_k) = h_k / (2 h_{k-1});
-    # c2_0 = 0 makes the first step collapse to first order (D_0 = x0_0)
-    # without a branch in the scan body.
-    c2 = np.concatenate([[0.0], h[1:] / (2.0 * h[:-1])])
-
-    xs = {
-        "t": jnp.asarray(ts[:-1], jnp.float32),
-        "a_k": jnp.asarray(alpha[:-1], jnp.float32),
-        "s_k": jnp.asarray(sigma[:-1], jnp.float32),
-        "sig_ratio": jnp.asarray(sigma[1:] / sigma[:-1], jnp.float32),
-        "coef": jnp.asarray(-alpha[1:] * np.expm1(-h), jnp.float32),
-        "c2": jnp.asarray(c2, jnp.float32),
-    }
+    xs = dpmpp_coefficients(schedule, num_steps)
 
     def step(carry, c):
         x, prev_x0 = carry

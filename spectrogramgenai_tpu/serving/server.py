@@ -67,7 +67,7 @@ class BatchingSampler:
     """
 
     def __init__(self, task, state, *, batch_size: int = 27, max_delay_ms: float = 50.0,
-                 sampler: str = "ddim", num_steps: int = 50, use_ema: bool = False,
+                 sampler: str = "dpmpp", num_steps: int = 20, use_ema: bool = False,
                  cfg_scale: float | None = None, seed: int = 0, artifact=None,
                  force_batch: bool = False):
         import jax

@@ -98,10 +98,16 @@ class ACGANTask:
             x = renorm_m1_1(x - self.denoiser_apply(x))
         return x
 
-    def _train_step(self, state: GANTrainState, images: jax.Array, labels: jax.Array, a_ind=None):
+    def _micro_grads(self, state: GANTrainState, g_stats, d_stats, images, labels,
+                     a_ind, k_noise, k_labels):
+        """One microbatch's G and D gradients at the CURRENT params, with
+        BatchNorm/spectral-norm stats threaded in (and the updated stats
+        returned) — the shared core of the plain step and the grad-accum scan
+        body. Gradients for both players are taken before either update, as
+        in the reference loop (G's fakes are judged by the pre-step D, D sees
+        the pre-step G's detached fakes, train_acgan.py:232-299)."""
         cfg = self.cfg
         n = images.shape[0]
-        rng, k_noise, k_labels = jax.random.split(state.rng, 3)
         real = self._preprocess(images)
 
         valid = jnp.ones((n, 1), jnp.float32)
@@ -109,15 +115,15 @@ class ACGANTask:
         fake_labels = jax.random.randint(k_labels, (n,), 0, cfg.num_classes)
         z = self.build_noise(k_noise, fake_labels, a_ind if cfg.use_aind else None)
 
-        # ---------------- G step -------------------------------------------
+        # ---------------- G grads ------------------------------------------
         def g_loss_fn(g_params):
             gen_imgs, g_updated = self.generator.apply(
-                {"params": g_params, "batch_stats": state.g_stats}, z, train=True,
+                {"params": g_params, "batch_stats": g_stats}, z, train=True,
                 mutable=["batch_stats"],
             )
             # D is a fixed judge inside the G step (no stats update).
             outs = self.discriminator.apply(
-                {"params": state.d_params, "batch_stats": state.d_stats}, gen_imgs, train=False
+                {"params": state.d_params, "batch_stats": d_stats}, gen_imgs, train=False
             )
             if cfg.use_aind:
                 validity, pred_label, aind_out = outs
@@ -132,14 +138,12 @@ class ACGANTask:
         (loss_g, (gen_imgs, g_updated)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params
         )
-        g_upd, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_upd)
 
-        # ---------------- D step -------------------------------------------
+        # ---------------- D grads ------------------------------------------
         gen_detached = jax.lax.stop_gradient(gen_imgs)
 
         def d_loss_fn(d_params):
-            variables = {"params": d_params, "batch_stats": state.d_stats}
+            variables = {"params": d_params, "batch_stats": d_stats}
             outs_real, d_updated = self.discriminator.apply(
                 variables, real, train=True, mutable=["batch_stats"]
             )
@@ -166,20 +170,61 @@ class ACGANTask:
         (loss_d, (d_updated, d_acc)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
+        metrics = {"loss_G": loss_g, "loss_D": loss_d, "d_acc": d_acc}
+        return (g_updated["batch_stats"], d_updated["batch_stats"],
+                g_grads, d_grads, metrics)
+
+    def _train_step(self, state: GANTrainState, images: jax.Array, labels: jax.Array, a_ind=None):
+        cfg = self.cfg
+        rng, k_noise, k_labels = jax.random.split(state.rng, 3)
+        k = max(1, int(cfg.grad_accum))
+
+        if k == 1:
+            g_stats, d_stats, g_grads, d_grads, metrics = self._micro_grads(
+                state, state.g_stats, state.d_stats, images, labels, a_ind, k_noise, k_labels
+            )
+        else:
+            # Gradient accumulation (train/common.py): both players' grads
+            # accumulate at the pre-step params across k microbatches
+            # (fresh noise/fake-labels per microbatch), BN stats thread
+            # through the carry, then ONE RMSprop update each.
+            tree = {"im": images, "la": labels}
+            if a_ind is not None:
+                tree["aind"] = a_ind
+            xs = common.microbatch_split(tree, k, self.mesh)
+            xs["k_noise"] = jax.random.split(k_noise, k)
+            xs["k_labels"] = jax.random.split(k_labels, k)
+
+            def body(carry, x):
+                g_st, d_st = carry
+                g_st, d_st, gg, dg, m = self._micro_grads(
+                    state, g_st, d_st, x["im"], x["la"], x.get("aind"),
+                    x["k_noise"], x["k_labels"]
+                )
+                return (g_st, d_st), {"g_grads": gg, "d_grads": dg, **m}
+
+            (g_stats, d_stats), out = common.microbatch_accumulate(
+                body, (state.g_stats, state.d_stats), xs, k
+            )
+            g_grads, d_grads = out["g_grads"], out["d_grads"]
+            metrics = {n: out[n] for n in ("loss_G", "loss_D", "d_acc")}
+
+        g_upd, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_upd)
         d_upd, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_upd)
 
         new_state = state.replace(
             step=state.step + 1,
             g_params=g_params,
-            g_stats=g_updated["batch_stats"],
+            g_stats=g_stats,
             g_opt=g_opt,
             d_params=d_params,
-            d_stats=d_updated["batch_stats"],
+            d_stats=d_stats,
             d_opt=d_opt,
             rng=rng,
         )
-        return new_state, {"loss_G": loss_g, "loss_D": loss_d, "d_acc": d_acc}
+        return new_state, metrics
 
     def make_train_step(self):
         return jax.jit(self._train_step, donate_argnums=(0,))

@@ -135,17 +135,45 @@ class ClassifierTask:
 
     def _train_step(self, state: TrainState, images, labels, embeddings=None):
         rng, k_drop = jax.random.split(state.rng)
-        x = self._preprocess(images)
+        k = max(1, int(self.cfg.grad_accum))
 
-        def loss_fn(params):
-            return self._loss(params, state.stats, x, labels, embeddings, k_drop, train=True)
+        if k == 1:
+            x = self._preprocess(images)
 
-        (loss, (logits, updated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                return self._loss(params, state.stats, x, labels, embeddings, k_drop, train=True)
+
+            (loss, (logits, updated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            stats = dict(updated)
+        else:
+            # Gradient accumulation (train/common.py): the ensemble is the
+            # workload that hard-crashed the 16 GB chip at batch 64 — k
+            # sequential microbatches keep one microbatch's activations live
+            # while BN stats thread through the scan carry. One optimizer
+            # update on the averaged grads.
+            tree = {"im": images, "la": labels}
+            if embeddings is not None:
+                tree["emb"] = embeddings
+            xs = common.microbatch_split(tree, k, self.mesh)
+            xs["key"] = jax.random.split(k_drop, k)
+
+            def body(stats, x):
+                def loss_fn(params):
+                    return self._loss(params, stats, self._preprocess(x["im"]), x["la"],
+                                      x.get("emb"), x["key"], train=True)
+
+                (li, (logits, updated)), gi = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                acc_i = jnp.mean((jnp.argmax(logits, -1) == x["la"]).astype(jnp.float32))
+                return dict(updated), {"grads": gi, "loss": li, "acc": acc_i}
+
+            stats, out = common.microbatch_accumulate(body, dict(state.stats), xs, k)
+            grads, loss, acc = out["grads"], out["loss"], out["acc"]
+
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, stats=dict(updated), rng=rng
+            step=state.step + 1, params=params, opt_state=opt_state, stats=stats, rng=rng
         )
         return new_state, {"train_loss": loss, "train_acc": acc}
 

@@ -1,10 +1,12 @@
-"""Optimizers (torch-equivalent hyperparameters) and mesh sharding rules."""
+"""Optimizers (torch-equivalent hyperparameters), mesh sharding rules, and
+the shared gradient-accumulation scan used by every task."""
 
 from __future__ import annotations
 
 import inspect
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -37,6 +39,65 @@ def make_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8) -> optax.Gra
 
 def make_adam(lr: float) -> optax.GradientTransformation:
     return optax.adam(lr)
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (shared by all tasks — reference helpers.py:740-798's
+# per-batch update, scaled past per-chip HBM by splitting each global batch
+# into k sequential microbatches inside ONE jitted step)
+# ---------------------------------------------------------------------------
+
+
+def microbatch_split(tree, k: int, mesh: Mesh | None = None):
+    """Reshape every (n, …) array leaf of ``tree`` to (k, n/k, …) for a
+    lax.scan over microbatches.
+
+    With a multi-device mesh the microbatch dim keeps its data-axis sharding
+    (the leading k axis is scan *time*, never materialized per device), so
+    each scanned microbatch runs the same SPMD program as a plain step.
+    Raises the same "not divisible by grad_accum" ValueError every task's
+    CLI surfaces.
+    """
+
+    def _split(a):
+        n = a.shape[0]
+        if n % k:
+            raise ValueError(f"batch {n} not divisible by grad_accum={k}")
+        return a.reshape(k, n // k, *a.shape[1:])
+
+    out = jax.tree_util.tree_map(_split, tree)
+    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        def _constrain(a):
+            spec = P(None, DATA_AXIS, *([None] * (a.ndim - 2)))
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+        out = jax.tree_util.tree_map(_constrain, out)
+    return out
+
+
+def microbatch_accumulate(body, carry, xs, k: int):
+    """``lax.scan`` the microbatch ``body(carry, x) → (carry, outs)`` over the
+    k-leading arrays in ``xs``, SUMMING the ``outs`` pytrees in the scan carry
+    — only one microbatch's activations are ever live, which is the whole
+    point — and return ``(final_carry, mean_outs)``.
+
+    ``carry`` threads sequential state (BatchNorm stats, the VQ-EMA codebook)
+    microbatch-to-microbatch, exactly as if the loader had delivered k
+    successive batches; grads/metrics in ``outs`` are averaged, so the caller
+    applies ONE optimizer update — one LR-schedule tick — for the whole
+    effective batch.
+    """
+    first = jax.tree_util.tree_map(lambda a: a[0], xs)
+    out_shapes = jax.eval_shape(lambda c, x: body(c, x), carry, first)[1]
+    zeros = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+
+    def scan_body(c, x):
+        inner, acc = c
+        inner, outs = body(inner, x)
+        return (inner, jax.tree_util.tree_map(jnp.add, acc, outs)), None
+
+    (carry, acc), _ = jax.lax.scan(scan_body, (carry, zeros), xs)
+    return carry, jax.tree_util.tree_map(lambda a: a / k, acc)
 
 
 # ---------------------------------------------------------------------------

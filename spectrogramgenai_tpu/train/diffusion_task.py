@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from spectrogramgenai_tpu.core.config import DDPMConfig
 from spectrogramgenai_tpu.core.ema import ema_init, ema_update
-from spectrogramgenai_tpu.core.mesh import DATA_AXIS
 from spectrogramgenai_tpu.data.transforms import renorm_m1_1
 from spectrogramgenai_tpu.diffusion.ddpm import (
     DiffusionSchedule,
@@ -142,39 +141,20 @@ class DiffusionTask:
         if k == 1:
             loss, grads = jax.value_and_grad(loss_fn)(state.params, images, labels, step_key)
         else:
-            # Gradient accumulation: lax.scan over k microbatches keeps only
-            # one microbatch's activations live (the VQ encode included), so
-            # the effective batch scales past per-chip HBM capacity. Each
-            # microbatch draws its own t/noise/CFG-drop (keys split from the
-            # step key); grads are averaged → one optimizer + EMA update,
-            # exactly as if the loader had yielded k separate steps' worth of
-            # data under one LR-schedule tick.
-            n = images.shape[0]
-            if n % k:
-                raise ValueError(f"batch {n} not divisible by grad_accum={k}")
-            b = n // k
-            imgs = images.reshape(k, b, *images.shape[1:])
-            labs = labels.reshape(k, b)
-            if self.mesh.shape[DATA_AXIS] > 1:
-                # keep each microbatch sharded over the data axis (the k axis
-                # is a time axis of the scan, never materialized per device)
-                from jax.sharding import NamedSharding, PartitionSpec
+            # Gradient accumulation (train/common.py helpers): only one
+            # microbatch's activations are ever live (the VQ encode
+            # included), so the effective batch scales past per-chip HBM.
+            # Each microbatch draws its own t/noise/CFG-drop key; averaged
+            # grads → one optimizer + EMA update, one LR-schedule tick.
+            xs = common.microbatch_split({"im": images, "la": labels}, k, self.mesh)
+            xs["key"] = jax.random.split(step_key, k)
 
-                s = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
-                imgs = jax.lax.with_sharding_constraint(imgs, s)
-                labs = jax.lax.with_sharding_constraint(labs, s)
-            keys = jax.random.split(step_key, k)
+            def body(_, x):
+                li, gi = jax.value_and_grad(loss_fn)(state.params, x["im"], x["la"], x["key"])
+                return None, {"grads": gi, "loss": li}
 
-            def body(carry, xs):
-                g_acc, l_acc = carry
-                im, la, ke = xs
-                li, gi = jax.value_and_grad(loss_fn)(state.params, im, la, ke)
-                return (jax.tree_util.tree_map(jnp.add, g_acc, gi), l_acc + li), None
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (g_sum, l_sum), _ = jax.lax.scan(body, (zeros, jnp.zeros((), jnp.float32)), (imgs, labs, keys))
-            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
-            loss = l_sum / k
+            _, acc = common.microbatch_accumulate(body, None, xs, k)
+            grads, loss = acc["grads"], acc["loss"]
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         ema_params = ema_update(state.ema_params, params, state.step, self.cfg.ema_beta, self.cfg.ema_start)

@@ -42,12 +42,27 @@ class SpecUNetTask:
         else:
             target = jnp.concatenate([noise_spec, bird_spec], axis=-1)
 
-        def loss_fn(params):
-            pred = self.model.apply({"params": params}, mix, deterministic=False,
-                                    rngs={"dropout": k_drop})
-            return jnp.mean((pred - target) ** 2)
+        def loss_fn(params, mix_b, target_b, key):
+            pred = self.model.apply({"params": params}, mix_b, deterministic=False,
+                                    rngs={"dropout": key})
+            return jnp.mean((pred - target_b) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        k = max(1, int(self.cfg.grad_accum))
+        if k == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, mix, target, k_drop)
+        else:
+            # Gradient accumulation (train/common.py): one dropout key per
+            # microbatch, averaged grads, one Adam update.
+            xs = common.microbatch_split({"mix": mix, "target": target}, k, self.mesh)
+            xs["key"] = jax.random.split(k_drop, k)
+
+            def body(_, x):
+                li, gi = jax.value_and_grad(loss_fn)(state.params, x["mix"], x["target"], x["key"])
+                return None, {"grads": gi, "loss": li}
+
+            _, out = common.microbatch_accumulate(body, None, xs, k)
+            grads, loss = out["grads"], out["loss"]
+
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), {

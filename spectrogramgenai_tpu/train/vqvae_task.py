@@ -53,26 +53,46 @@ class VQVAETask:
         """Full variable dict (params + codebook) — what latent diffusion loads."""
         return {"params": state.params, **state.stats}
 
+    def _loss(self, params, stats, x):
+        (x_hat, z, z_q, commit, codebook_loss, perplexity), updated = self.model.apply(
+            {"params": params, **stats}, x, train=True, mutable=["codebook"]
+        )
+        recon = jnp.mean((x_hat - x) ** 2)
+        loss = recon + commit + codebook_loss
+        aux = {"recon_mse": recon, "commitment": commit, "codebook": codebook_loss,
+               "perplexity": perplexity, "loss": loss}
+        return loss, (aux, updated)
+
     def _train_step(self, state: TrainState, images: jax.Array):
-        x = renorm_m1_1(images)
+        k = max(1, int(self.cfg.grad_accum))
+        if k == 1:
+            x = renorm_m1_1(images)
+            (loss, (aux, updated)), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, state.stats, x)
+            stats = dict(updated)
+        else:
+            # Gradient accumulation (train/common.py): the EMA codebook
+            # threads through the scan carry, so microbatch i quantizes
+            # against the codebook updated by microbatch i−1 — exactly the
+            # semantics of feeding the chunks as successive batches, at one
+            # optimizer update.
+            xs = common.microbatch_split({"im": images}, k, self.mesh)
 
-        def loss_fn(params):
-            (x_hat, z, z_q, commit, codebook_loss, perplexity), updated = self.model.apply(
-                {"params": params, **state.stats}, x, train=True, mutable=["codebook"]
-            )
-            recon = jnp.mean((x_hat - x) ** 2)
-            loss = recon + commit + codebook_loss
-            aux = {"recon_mse": recon, "commitment": commit, "codebook": codebook_loss,
-                   "perplexity": perplexity}
-            return loss, (aux, updated)
+            def body(stats, xb):
+                x = renorm_m1_1(xb["im"])
+                (li, (aux_i, updated)), gi = jax.value_and_grad(self._loss, has_aux=True)(
+                    state.params, stats, x)
+                return dict(updated), {"grads": gi, **aux_i}
 
-        (loss, (aux, updated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            stats, out = common.microbatch_accumulate(body, dict(state.stats), xs, k)
+            grads = out.pop("grads")
+            aux = out
+
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, stats=dict(updated)
+            step=state.step + 1, params=params, opt_state=opt_state, stats=stats
         )
-        aux["loss"] = loss
         return new_state, aux
 
     def make_train_step(self):

@@ -328,12 +328,37 @@ def test_dpmpp_second_order_beats_ddim():
     shape = (8, 8, 1)
     kw = dict(cfg_scale=0.0)  # pure ODE, one forward/step
 
+    # 16 steps: above the lower_order_final threshold (15), so every step
+    # including the last is genuinely 2nd-order — the regime the order
+    # comparison is about. (At <15 steps the deliberately first-order final
+    # step — largest h, at the steep t→0 tail — dominates the error budget.)
     ref = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=500, **kw)
-    ddim10 = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=10, **kw)
-    dpmpp10 = dpmpp_sample(apply_fn, None, s, key, labels, shape, num_steps=10, **kw)
-    err_ddim = float(jnp.mean((ddim10 - ref) ** 2))
-    err_dpmpp = float(jnp.mean((dpmpp10 - ref) ** 2))
+    ddim16 = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=16, **kw)
+    dpmpp16 = dpmpp_sample(apply_fn, None, s, key, labels, shape, num_steps=16, **kw)
+    err_ddim = float(jnp.mean((ddim16 - ref) ** 2))
+    err_dpmpp = float(jnp.mean((dpmpp16 - ref) ** 2))
     assert err_dpmpp < 0.5 * err_ddim, (err_dpmpp, err_ddim)
+
+    # the production serving claim (r4 default flip): 20-step DPM++ is at
+    # least as accurate as 50-step DDIM against the converged reference
+    ddim50 = ddim_sample(apply_fn, None, s, key, labels, shape, num_steps=50, **kw)
+    dpmpp20 = dpmpp_sample(apply_fn, None, s, key, labels, shape, num_steps=20, **kw)
+    err_ddim50 = float(jnp.mean((ddim50 - ref) ** 2))
+    err_dpmpp20 = float(jnp.mean((dpmpp20 - ref) ** 2))
+    assert err_dpmpp20 <= err_ddim50, (err_dpmpp20, err_ddim50)
+
+
+def test_dpmpp_lower_order_final_gating():
+    """c2[-1] = 0 below 15 steps (official lower_order_final), full 2nd-order
+    final step at ≥15 — the 20-step production path must keep its order."""
+    from spectrogramgenai_tpu.diffusion.ddpm import dpmpp_coefficients
+
+    s = linear_schedule(1000, 1e-4, 0.02)
+    lo = dpmpp_coefficients(s, 10)
+    hi = dpmpp_coefficients(s, 20)
+    assert float(lo["c2"][-1]) == 0.0
+    assert float(hi["c2"][-1]) > 0.0
+    assert float(lo["c2"][0]) == 0.0 and float(hi["c2"][0]) == 0.0  # 1st step always 1st-order
 
 
 def test_dpmpp_runs_through_task():
