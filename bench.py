@@ -116,8 +116,18 @@ def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing 
 
     from spectrogramgenai_tpu.utils.benchtools import timeit_device
 
+    def _lap(tag, t0):
+        # sub-phase stderr timing: the mel section wobbled 38↔200 s between
+        # back-to-back warm r4 runs — this pins WHICH phase (program load
+        # into the axon worker vs CPU spot vs high-mode) eats the variance
+        print(f"bench: mel.{tag} {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return time.perf_counter()
+
     fn = (lambda x: fused_logmel(x, cfg)) if on_tpu else (lambda x: logmel_spectrogram(x, cfg))
+    t_lap = time.perf_counter()
     dt = timeit_device(fn, xa, iters=iters)
+    t_lap = _lap("exact", t_lap)
     dev_specs_per_sec = batch / dt
 
     # CPU reference (identical librosa-parity math, NumPy/pocketfft): PINNED
@@ -139,10 +149,16 @@ def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing 
             per_clip.append(time.perf_counter() - t0)
         spot_sps = 1.0 / min(per_clip)
 
-    # Parity check rides along so the number is honest.
-    got = np.asarray(fn(xa[:2]))
+    t_lap = _lap("cpu_spot", t_lap)
+
+    # Parity check rides along so the number is honest. Reuse the full-batch
+    # program (the one actually timed): a `fn(xa[:2])` call is a DIFFERENT
+    # shape → a second program compile+load into the remote axon worker,
+    # measured at 30-90 s of pure tunnel overhead per mode.
+    got = np.asarray(fn(xa))[:2]
     ref = np.stack([reference_logmel_np(audio[i], cfg) for i in range(2)])
     max_err_db = float(np.abs(got - ref).max())
+    t_lap = _lap("parity", t_lap)
 
     extra = {
         "cpu_mel_pinned": True,
@@ -157,16 +173,23 @@ def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing 
         # 0.31 dB/level uint8-PNG quantization of the reference data path.
         fn_h = lambda x: fused_logmel(x, cfg, exact="high")  # noqa: E731
         dt_h = timeit_device(fn_h, xa, iters=iters)
-        got_h = np.asarray(fn_h(xa[:2]))
+        got_h = np.asarray(fn_h(xa))[:2]  # same-shape program — see above
         extra["mel_specs_per_sec_high_mode"] = batch / dt_h
         extra["mel_high_mode_max_err_db"] = float(np.abs(got_h - ref).max())
+        _lap("high", t_lap)
 
     return dev_specs_per_sec, cpu_specs_per_sec, max_err_db, extra
 
 
-def _bench_ddpm(num_classes=27):
-    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8,
-    plus train-step throughput and compiled FLOPs/MFU for both."""
+_DDPM_CTX: dict = {}
+
+
+def _ddpm_ctx(num_classes=27):
+    """Shared lazy setup for the ddpm_sample / ddpm_train sections (split in
+    r4 so a tight budget still captures the BASELINE-critical chain numbers
+    before the slower train-variant programs load through the tunnel)."""
+    if _DDPM_CTX:
+        return _DDPM_CTX
     import jax
     import jax.numpy as jnp
 
@@ -174,17 +197,30 @@ def _bench_ddpm(num_classes=27):
     from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
     from spectrogramgenai_tpu.models.vqvae import VQVAE
     from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
-    from spectrogramgenai_tpu.utils.benchtools import device_sync
 
     cfg = DDPMConfig(img_size=256, latent=True, num_classes=num_classes, run=RunConfig(seed=0))
     mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
     vq = VQVAE(latent_dim=cfg.latent_dim, dtype=jnp.bfloat16)
     vq_vars = vq.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 256, 256, 1)))
     task = DiffusionTask(cfg, mesh, total_steps=100, vq_variables=vq_vars)
-    state = task.init_state(0)
+    _DDPM_CTX.update(cfg=cfg, mesh=mesh, vq_vars=vq_vars, task=task,
+                     state=task.init_state(0),
+                     labels=jnp.arange(num_classes, dtype=jnp.int32))
+    return _DDPM_CTX
+
+
+def _bench_ddpm_sample(num_classes=27):
+    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8,
+    chain FLOPs/MFU, and the DDIM-50 / DPM++-20 fast samplers."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.utils.benchtools import device_sync
+
+    ctx = _ddpm_ctx(num_classes)
+    cfg, task, state, labels = ctx["cfg"], ctx["task"], ctx["state"], ctx["labels"]
 
     out = {}
-    labels = jnp.arange(num_classes, dtype=jnp.int32)
     sampler = task.make_sampler()
     sample_kw = dict(cfg_scale=cfg.cfg_scale)
     # first call = compile + warmup (the 999-step scan body compiles once)
@@ -235,7 +271,20 @@ def _bench_ddpm(num_classes=27):
     dpmpp_dt = timeit_device(
         lambda: sampler(state.params, jax.random.PRNGKey(3), labels, **dpmpp_kw), iters=5)
     out["dpmpp20_sampling_samples_per_sec_per_chip"] = num_classes / dpmpp_dt
+    return out
 
+
+def _bench_ddpm_train(num_classes=27):
+    """DDPM train-step throughput + MFU at reference batch 10, capacity
+    batch 32, and effective batch 128 via 4× gradient accumulation."""
+    import jax
+    import jax.numpy as jnp
+
+    ctx = _ddpm_ctx(num_classes)
+    cfg, mesh, vq_vars = ctx["cfg"], ctx["mesh"], ctx["vq_vars"]
+    task, state = ctx["task"], ctx["state"]
+
+    out = {}
     # training throughput at the reference per-device batch (train_ddpm.py:31)
     step = task.make_train_step()
     timgs = jnp.zeros((10, 256, 256, 1), jnp.float32)
@@ -264,6 +313,8 @@ def _bench_ddpm(num_classes=27):
     # 32/chip HBM capacity (cfg.grad_accum; lax.scan inside the jitted step)
     # — batches past what activations can fit, at one optimizer update
     import dataclasses
+
+    from spectrogramgenai_tpu.train.diffusion_task import DiffusionTask
 
     task_ga = DiffusionTask(
         dataclasses.replace(cfg, grad_accum=4), mesh, total_steps=100, vq_variables=vq_vars
@@ -566,29 +617,61 @@ def main():
     result: dict = {}
 
     # (name, fn, estimated cost in seconds with a WARM persistent compile
-    # cache — tuned from measured runs; the guard skips a section when its
-    # estimate no longer fits the remaining budget, so a cold cache or slow
-    # tunnel degrades to a partial-but-parseable record, never an rc!=0)
+    # cache — tuned from measured r4 runs (section_seconds of two full
+    # passes); the guard skips a section when its estimate no longer fits
+    # the remaining budget, so a cold cache or slow tunnel degrades to a
+    # partial-but-parseable record, never an rc!=0. Even a warm run pays
+    # ~30-90 s per distinct jitted program just to LOAD it into the remote
+    # axon worker — which is why the r3 monolithic ddpm section (8 programs,
+    # measured ~500 s warm) is split so the BASELINE-critical chain + ×CPU
+    # numbers land before the train-variant program loads.
     sections = [
         ("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline, 1),  # pinned — free
-        ("ddpm", _bench_ddpm, 240),
-        ("invert", _bench_invert, 40),
-        ("input_pipeline", _bench_input_pipeline, 25),
-        ("vqvae", _bench_vqvae, 40),
-        ("acgan", _bench_acgan, 40),
-        ("specunet", _bench_specunet, 55),
-        ("classifier", lambda: _bench_classifier(capacity_batch=256), 70),
-        ("acgan_capacity", _bench_acgan_capacity, 25),
-        ("serve_dpmpp", _bench_serve_dpmpp, 60),
+        ("ddpm_sample", _bench_ddpm_sample, 330),
+        ("invert", _bench_invert, 10),
+        ("input_pipeline", _bench_input_pipeline, 8),
+        ("vqvae", _bench_vqvae, 8),
+        ("ddpm_train", _bench_ddpm_train, 200),
+        ("specunet", _bench_specunet, 60),
+        ("classifier", lambda: _bench_classifier(capacity_batch=256), 20),
+        ("acgan", _bench_acgan, 70),
+        ("acgan_capacity", _bench_acgan_capacity, 15),
+        ("serve_dpmpp", _bench_serve_dpmpp, 25),
         ("classifier_sweep", _bench_classifier_sweep, 150),
     ]
     skipped = [name for name, _, _ in sections]
+
+    # Full prior record (BENCH_local.json, committed, refreshed whenever a
+    # big-budget full pass runs — see its "record_date"). Keys from sections
+    # the budget guard skips are backfilled from it so the driver-captured
+    # record is always COMPLETE, with provenance: every backfilled key is
+    # named in "keys_from_prior_record". Freshly measured keys always win.
+    prior: dict = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json")) as f:
+            prior = json.load(f)
+        # run-specific meta never backfills; headline keys (metric/value/…)
+        # stay so even a failed mel section leaves a valid headline, clearly
+        # marked via keys_from_prior_record
+        for meta in ("backend", "section_seconds", "bench_elapsed_s",
+                     "skipped_sections", "bench_incomplete", "errors",
+                     "keys_from_prior_record", "prior_record_date"):
+            prior.pop(meta, None)
+    except Exception:
+        prior = {}
 
     def emit(incomplete: bool):
         """Print the full cumulative record as one stdout line. The driver
         parses the LAST line, so every section boundary leaves a valid,
         maximal record behind (r3's single final print was killed mid-run)."""
         out = dict(result)
+        backfill = {k: v for k, v in prior.items()
+                    if k not in out and k != "record_date"}
+        if backfill:
+            out.update(backfill)
+            out["keys_from_prior_record"] = sorted(backfill)
+            out["prior_record_date"] = prior.get("record_date", "unknown")
         ips = out.get("input_pipeline_images_per_sec_per_core")
         train_ips = out.get("ddpm_train_images_per_sec_per_chip_batch32")
         if ips and train_ips:
@@ -611,22 +694,34 @@ def main():
         print(json.dumps(out), flush=True)
         return out
 
+    # line 0, before ANY device work: a fully prior-backfilled record. The
+    # first program load into a fresh axon worker session was measured at
+    # 38→575 s across back-to-back runs (worker-state dependent, not ours) —
+    # without this, an external kill during the mel warmup would leave an
+    # EMPTY stdout (r3's parsed:null all over again).
+    emit(incomplete=True)
+
     cfg = SpectrogramConfig(sample_rate=22050)
     print("bench: mel…", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    dev_sps, cpu_sps, max_err_db, mel_extra = _bench_mel(cfg)  # headline — let it raise
+    try:
+        dev_sps, cpu_sps, max_err_db, mel_extra = _bench_mel(cfg)
+        result.update({
+            "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
+            "value": round(dev_sps, 1),
+            "unit": "specs/sec",
+            "vs_baseline": round(dev_sps / cpu_sps, 1),
+            "cpu_reference_specs_per_sec": round(cpu_sps, 2),
+            "mel_parity_max_err_db": round(max_err_db, 6),
+        })
+        result.update(mel_extra)
+        print(f"bench: mel done ({dev_sps:.0f}/s)", file=sys.stderr, flush=True)
+    except Exception as e:
+        # even a broken headline leaves a parseable record (prior-backfilled
+        # headline keys + the remaining sections), never an empty stdout
+        traceback.print_exc()
+        errors["mel"] = f"{type(e).__name__}: {e}"
     section_seconds["mel"] = time.perf_counter() - t0
-    print(f"bench: mel done ({dev_sps:.0f}/s)", file=sys.stderr, flush=True)
-
-    result.update({
-        "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
-        "value": round(dev_sps, 1),
-        "unit": "specs/sec",
-        "vs_baseline": round(dev_sps / cpu_sps, 1),
-        "cpu_reference_specs_per_sec": round(cpu_sps, 2),
-        "mel_parity_max_err_db": round(max_err_db, 6),
-    })
-    result.update(mel_extra)
     emit(incomplete=True)
 
     for name, fn, est in sections:
