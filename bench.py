@@ -98,6 +98,64 @@ def _time_train_step(step, state, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def load_prior_record(path: str | None = None) -> dict:
+    """Full prior record (BENCH_local.json, committed, refreshed whenever a
+    big-budget full pass runs — see its "record_date"). Keys from sections
+    the budget guard skips are backfilled from it so the driver-captured
+    record is always COMPLETE, with provenance (assemble_record lists every
+    backfilled key in "keys_from_prior_record"). Run-specific meta never
+    backfills; headline keys (metric/value/…) stay, so even a failed mel
+    section leaves a valid headline, clearly marked."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_local.json")
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        for meta in ("backend", "section_seconds", "bench_elapsed_s",
+                     "skipped_sections", "bench_incomplete", "errors",
+                     "keys_from_prior_record", "prior_record_date"):
+            prior.pop(meta, None)
+        return prior
+    except Exception:
+        return {}
+
+
+def assemble_record(result: dict, prior: dict, *, errors: dict, skipped: list,
+                    section_seconds: dict, elapsed_s: float, incomplete: bool,
+                    backend: str) -> dict:
+    """One cumulative bench record: fresh keys win, prior keys backfill with
+    provenance, derived ratios recompute over the merged view (pure function
+    — unit-tested in tests/test_bench_record.py)."""
+    out = dict(result)
+    backfill = {k: v for k, v in prior.items()
+                if k not in out and k != "record_date"}
+    if backfill:
+        out.update(backfill)
+        out["keys_from_prior_record"] = sorted(backfill)
+        out["prior_record_date"] = prior.get("record_date", "unknown")
+    ips = out.get("input_pipeline_images_per_sec_per_core")
+    train_ips = out.get("ddpm_train_images_per_sec_per_chip_batch32")
+    if ips and train_ips:
+        # host cores needed to keep one chip's capacity-batch trainer fed
+        out["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
+    tpu_sps = out.get("ddpm_sampling_samples_per_sec_per_chip")
+    cpu_ddpm = out.get("cpu_reference_ddpm_samples_per_sec")
+    if tpu_sps and cpu_ddpm:
+        out["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
+    out = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in out.items()}
+    if errors:
+        out["errors"] = errors
+    if skipped:
+        out["skipped_sections"] = list(skipped)
+    if incomplete:
+        out["bench_incomplete"] = True
+    out["section_seconds"] = {k: round(v, 1) for k, v in section_seconds.items()}
+    out["bench_elapsed_s"] = round(elapsed_s, 1)
+    out["backend"] = backend
+    return out
+
+
 def _bench_mel(cfg, batch=256, iters=30):  # ≥20 iters/sync: CLAUDE.md timing rule
     import jax
     import jax.numpy as jnp
@@ -641,56 +699,17 @@ def main():
     ]
     skipped = [name for name, _, _ in sections]
 
-    # Full prior record (BENCH_local.json, committed, refreshed whenever a
-    # big-budget full pass runs — see its "record_date"). Keys from sections
-    # the budget guard skips are backfilled from it so the driver-captured
-    # record is always COMPLETE, with provenance: every backfilled key is
-    # named in "keys_from_prior_record". Freshly measured keys always win.
-    prior: dict = {}
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json")) as f:
-            prior = json.load(f)
-        # run-specific meta never backfills; headline keys (metric/value/…)
-        # stay so even a failed mel section leaves a valid headline, clearly
-        # marked via keys_from_prior_record
-        for meta in ("backend", "section_seconds", "bench_elapsed_s",
-                     "skipped_sections", "bench_incomplete", "errors",
-                     "keys_from_prior_record", "prior_record_date"):
-            prior.pop(meta, None)
-    except Exception:
-        prior = {}
+    prior = load_prior_record()
 
     def emit(incomplete: bool):
         """Print the full cumulative record as one stdout line. The driver
         parses the LAST line, so every section boundary leaves a valid,
         maximal record behind (r3's single final print was killed mid-run)."""
-        out = dict(result)
-        backfill = {k: v for k, v in prior.items()
-                    if k not in out and k != "record_date"}
-        if backfill:
-            out.update(backfill)
-            out["keys_from_prior_record"] = sorted(backfill)
-            out["prior_record_date"] = prior.get("record_date", "unknown")
-        ips = out.get("input_pipeline_images_per_sec_per_core")
-        train_ips = out.get("ddpm_train_images_per_sec_per_chip_batch32")
-        if ips and train_ips:
-            # host cores needed to keep one chip's capacity-batch trainer fed
-            out["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
-        tpu_sps = out.get("ddpm_sampling_samples_per_sec_per_chip")
-        cpu_ddpm = out.get("cpu_reference_ddpm_samples_per_sec")
-        if tpu_sps and cpu_ddpm:
-            out["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
-        out = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in out.items()}
-        if errors:
-            out["errors"] = errors
-        if skipped:
-            out["skipped_sections"] = list(skipped)
-        if incomplete:
-            out["bench_incomplete"] = True
-        out["section_seconds"] = {k: round(v, 1) for k, v in section_seconds.items()}
-        out["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
-        out["backend"] = jax.default_backend()
+        out = assemble_record(
+            result, prior, errors=errors, skipped=skipped,
+            section_seconds=section_seconds,
+            elapsed_s=time.perf_counter() - t_start, incomplete=incomplete,
+            backend=jax.default_backend())
         print(json.dumps(out), flush=True)
         return out
 
