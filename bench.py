@@ -367,6 +367,16 @@ def _bench_ddpm_train(num_classes=27):
     if flops32 is not None:
         out["ddpm_train_mfu_pct_batch32"] = _mfu(flops32, dt32)
 
+    # latent-cached training (cli/train_ddpm.py default): the frozen VQ
+    # encode (22% of the step, tools/train_ablation.py) runs once per image
+    # at startup instead of once per image×epoch — the step consumes
+    # pre-encoded latents
+    lat32 = task.make_encoder()(imgs32)
+    step_c = task.make_train_step(encoded=True)
+    state_c = task.init_state(0)
+    dt32c = _time_train_step(step_c, state_c, lat32, labs32)
+    out["ddpm_train_images_per_sec_per_chip_batch32_cached"] = 32 / dt32c
+
     # gradient accumulation: effective batch 128 = 4 microbatches × the
     # 32/chip HBM capacity (cfg.grad_accum; lax.scan inside the jitted step)
     # — batches past what activations can fit, at one optimizer update

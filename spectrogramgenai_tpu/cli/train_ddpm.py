@@ -59,7 +59,18 @@ def run(cfg):
     vq_vars = load_vq_variables(cfg.vqae_ckpt, cfg) if cfg.latent else None
     task = DiffusionTask(cfg, mesh, total_steps=total_steps, vq_variables=vq_vars)
     state = task.init_state()
-    train_step = task.make_train_step()
+    use_cache = cfg.latent and cfg.cache_latents
+    if use_cache:
+        # Pre-encode the dataset once (frozen deterministic encoder) and
+        # train from cached latents: identical batches and updates, minus
+        # the in-step encode and all per-epoch PNG decode. epoch_indices()
+        # delegates to train_src, so the shuffle/bootstrap stream (and exact
+        # mid-epoch resume) is unchanged.
+        from spectrogramgenai_tpu.data.latent_cache import LatentCacheSource
+
+        train_src = LatentCacheSource(train_src, task.make_encoder())
+    batch_key = "latent" if use_cache else "image"
+    train_step = task.make_train_step(encoded=use_cache)
     eval_step = task.make_eval_step()
 
     run_dir = os.path.join(cfg.run.output_dir, cfg.run.run_name)
@@ -96,7 +107,7 @@ def run(cfg):
         for batch in device_prefetch(
             iterate_batches(train_src, cfg.data.batch_size, epochs=1, skip_batches=skip), mesh
         ):
-            state, m = train_step(state, batch["image"], batch["label"])
+            state, m = train_step(state, batch[batch_key], batch["label"])
             step_i += 1
             if step_i % cfg.run.log_every == 0:
                 logger.log(step_i, epoch=epoch, train_mse=float(m["train_mse"]))

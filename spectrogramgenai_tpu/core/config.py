@@ -92,6 +92,12 @@ class DDPMConfig:
     # microbatch's activation memory. data.batch_size must be divisible by
     # grad_accum × mesh data size.
     grad_accum: int = 1
+    # Latent caching (latent mode only): pre-encode the dataset once through
+    # the frozen VQ encoder and train from cached latents — bit-identical
+    # batches/updates (encode is frozen + deterministic, no stochastic
+    # augmentation in the pipeline), but skips the in-step encode (22% of the
+    # step at batch 32, tools/train_ablation.py) and all per-epoch PNG decode.
+    cache_latents: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

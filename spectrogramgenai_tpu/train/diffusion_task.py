@@ -127,12 +127,20 @@ class DiffusionTask:
     def _apply_sample(self, params, x, t, y, cond_mask):
         return self.sample_model.apply({"params": params}, x, t, y, cond_mask)
 
+    def make_encoder(self):
+        """Jitted dataset→latent batch encode, for latent caching (the encode
+        is frozen + deterministic, so it can run once per image instead of
+        once per image×epoch — measured 22% of the train step at batch 32,
+        tools/train_ablation.py)."""
+        return jax.jit(self._encode)
+
     # -- train ------------------------------------------------------------------
-    def _train_step(self, state: TrainState, images: jax.Array, labels: jax.Array):
+    def _train_step(self, state: TrainState, images: jax.Array, labels: jax.Array,
+                    encoded: bool = False):
         rng, step_key = jax.random.split(state.rng)
 
         def loss_fn(params, imgs, labs, key):
-            x = self._encode(imgs)
+            x = imgs if encoded else self._encode(imgs)
             return diffusion_loss(
                 self._apply, params, self.schedule, x, labs, key, self.cfg.label_drop
             )
@@ -163,8 +171,17 @@ class DiffusionTask:
         )
         return new_state, {"train_mse": loss}
 
-    def make_train_step(self):
-        return jax.jit(self._train_step, donate_argnums=(0,))
+    def make_train_step(self, encoded: bool = False):
+        """``encoded=True`` compiles the latent-cached variant: the batch is
+        already model-space latents (make_encoder output) and the in-step
+        renorm + frozen VQ encode is skipped. Same math as the image path
+        (encode is frozen + deterministic; the rng split structure is
+        unchanged) — exact in f32; bf16 can differ in the last bit because
+        the encode runs in its own program (see data/latent_cache.py)."""
+        import functools
+
+        return jax.jit(functools.partial(self._train_step, encoded=encoded),
+                       donate_argnums=(0,))
 
     def _eval_step(self, state: TrainState, images: jax.Array, labels: jax.Array, key):
         x = self._encode(images)
