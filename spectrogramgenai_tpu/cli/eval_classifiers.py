@@ -22,8 +22,12 @@ def eval_one(model_name: str, synth: int, args, cfg_base):
 
     cfg = dataclasses.replace(cfg_base, model_name=model_name, synthetic_per_class=synth)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
-    val_src = ImageFolderSource(args.val_dir, img_size=cfg.data.img_size)
-    test_src = ImageFolderSource(args.test_dir, img_size=cfg.data.img_size) if args.test_dir else None
+    val_src = ImageFolderSource(args.val_dir, img_size=cfg.data.img_size,
+                                cache_decoded=cfg.data.cache_decoded,
+                                cache_budget_mb=cfg.data.cache_budget_mb)
+    test_src = ImageFolderSource(args.test_dir, img_size=cfg.data.img_size,
+                                 cache_decoded=cfg.data.cache_decoded,
+                                 cache_budget_mb=cfg.data.cache_budget_mb) if args.test_dir else None
     num_classes = len(val_src.classes)
     cfg = dataclasses.replace(cfg, num_classes=num_classes)
 

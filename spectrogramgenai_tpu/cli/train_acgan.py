@@ -45,7 +45,8 @@ def _manifest_source(cfg, manifest: str, lab_csv: str | None, ai_csv: str | None
             train_df[col] = (train_df[col] - train_df[col].mean()) / train_df[col].std(ddof=0)
 
     src = DataFrameImageSource(train_df, im_path, classes, indices_columns=indices_columns,
-                               seed=cfg.run.seed)
+                               seed=cfg.run.seed, cache_decoded=cfg.data.cache_decoded,
+                               cache_budget_mb=cfg.data.cache_budget_mb)
     return src, classes
 
 
@@ -85,6 +86,7 @@ def run(cfg, st_epochs: int = 0, manifest: str | None = None, lab_csv: str | Non
         src = ImageFolderSource(
             os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
             seed=cfg.run.seed, img_size=cfg.data.img_size,
+            cache_decoded=cfg.data.cache_decoded, cache_budget_mb=cfg.data.cache_budget_mb,
         )
 
     # fixed eval noise (train_acgan.py:119-123)

@@ -81,7 +81,9 @@ def train_one(model_name: str, synth: int, args, cfg_base):
         cfg = dataclasses.replace(cfg, use_denoiser=True)
     mesh = create_mesh(MeshSpec(cfg.run.mesh_data, cfg.run.mesh_model))
 
-    train_src = ImageFolderSource(args.train_dir, seed=cfg.run.seed, img_size=cfg.data.img_size)
+    train_src = ImageFolderSource(args.train_dir, seed=cfg.run.seed, img_size=cfg.data.img_size,
+                                  cache_decoded=cfg.data.cache_decoded,
+                                  cache_budget_mb=cfg.data.cache_budget_mb)
     if synth > 0 and args.gen_dir:
         _inject_synthetic(train_src, args.gen_dir, synth, cfg.synthetic_cap, cfg.run.seed)
     if getattr(args, "embeddings_csv", None):
@@ -89,8 +91,12 @@ def train_one(model_name: str, synth: int, args, cfg_base):
         # (reference helpers.py:612-637 merges embedding CSVs into the df).
         _attach_embeddings(train_src, args.embeddings_csv)
         cfg = dataclasses.replace(cfg, knowledge_dist=True)
-    val_src = ImageFolderSource(args.val_dir, img_size=cfg.data.img_size)
-    test_src = ImageFolderSource(args.test_dir, img_size=cfg.data.img_size) if args.test_dir else None
+    val_src = ImageFolderSource(args.val_dir, img_size=cfg.data.img_size,
+                                cache_decoded=cfg.data.cache_decoded,
+                                cache_budget_mb=cfg.data.cache_budget_mb)
+    test_src = ImageFolderSource(args.test_dir, img_size=cfg.data.img_size,
+                                 cache_decoded=cfg.data.cache_decoded,
+                                 cache_budget_mb=cfg.data.cache_budget_mb) if args.test_dir else None
     num_classes = len(train_src.classes)
     cfg = dataclasses.replace(cfg, num_classes=num_classes)
 
@@ -148,14 +154,29 @@ def _attach_embeddings(src, embeddings_csv: str):
              for fn, emb in zip(df["file_name"], df["embeddings"])}
     dim = len(next(iter(table.values())))
 
+    def embed_row(i):
+        return table.get(os.path.basename(src.paths[i]), np.zeros(dim, np.float32))
+
     orig_load = src.load
 
     def load(i):
         out = orig_load(i)
-        out["embedding"] = table.get(os.path.basename(src.paths[i]), np.zeros(dim, np.float32))
+        out["embedding"] = embed_row(i)
         return out
 
     src.load = load
+
+    # iterate_batches prefers the whole-batch native-decode path when the
+    # source has one — wrap it too, or the KD targets silently never reach
+    # the train step (embeddings=None → plain CE, no error).
+    orig_load_batch = getattr(src, "load_batch", None)
+    if orig_load_batch is not None:
+        def load_batch(chunk, num_threads=8):
+            out = orig_load_batch(chunk, num_threads=num_threads)
+            out["embedding"] = np.stack([embed_row(int(i)) for i in chunk])
+            return out
+
+        src.load_batch = load_batch
 
 
 def _inject_synthetic(src, gen_dir: str, per_class: int, cap: int, seed: int):

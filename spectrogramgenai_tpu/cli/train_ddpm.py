@@ -52,6 +52,7 @@ def run(cfg):
     train_src = ImageFolderSource(
         os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
         bootstrap_balance=cfg.data.bootstrap_balance, seed=cfg.run.seed, img_size=cfg.data.img_size,
+        cache_decoded=cfg.data.cache_decoded, cache_budget_mb=cfg.data.cache_budget_mb,
     )
     steps_per_epoch = len(train_src.epoch_indices()) // cfg.data.batch_size
     total_steps = max(1, steps_per_epoch * cfg.epochs)
@@ -96,7 +97,9 @@ def run(cfg):
     resume_skip = int(state.step) % steps_per_epoch if steps_per_epoch else 0
 
     val_root = os.path.join(cfg.data.dataset_path, cfg.data.val_folder)
-    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size) if os.path.isdir(val_root) else None
+    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size,
+                                cache_decoded=cfg.data.cache_decoded,
+                                cache_budget_mb=cfg.data.cache_budget_mb) if os.path.isdir(val_root) else None
 
     step_i = int(state.step)
     for epoch in range(cfg.epochs):

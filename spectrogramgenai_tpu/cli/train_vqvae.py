@@ -44,9 +44,12 @@ def run(cfg):
     train_src = ImageFolderSource(
         os.path.join(cfg.data.dataset_path, cfg.data.train_folder),
         bootstrap_balance=cfg.data.bootstrap_balance, seed=cfg.run.seed, img_size=cfg.data.img_size,
+        cache_decoded=cfg.data.cache_decoded, cache_budget_mb=cfg.data.cache_budget_mb,
     )
     val_root = os.path.join(cfg.data.dataset_path, cfg.data.val_folder)
-    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size) if os.path.isdir(val_root) else None
+    val_src = ImageFolderSource(val_root, img_size=cfg.data.img_size,
+                                cache_decoded=cfg.data.cache_decoded,
+                                cache_budget_mb=cfg.data.cache_budget_mb) if os.path.isdir(val_root) else None
 
     step_i = 0
     for epoch in range(cfg.epochs):

@@ -163,3 +163,46 @@ def test_vgg16_train_step_jits():
     labs = jnp.zeros((2,), jnp.int32)
     state, m = step(state, imgs, labs)
     assert jnp.isfinite(jnp.asarray(list(m.values())[0])).all()
+
+
+def test_attach_embeddings_reaches_batches(tmp_path):
+    """Regression: _attach_embeddings patched only src.load, but
+    iterate_batches prefers the whole-batch load_batch path — KD targets
+    silently never reached the train step (embeddings=None → plain CE)."""
+    from PIL import Image
+
+    from spectrogramgenai_tpu.cli.train_classifiers import _attach_embeddings
+    from spectrogramgenai_tpu.data.pipeline import ImageFolderSource, iterate_batches
+
+    rng = np.random.default_rng(0)
+    names = []
+    for c in ["a", "b"]:
+        d = tmp_path / "train" / c
+        d.mkdir(parents=True)
+        for i in range(3):
+            name = f"{c}_{i}.png"
+            Image.fromarray(rng.integers(0, 256, (16, 16), np.uint8), mode="L").save(d / name)
+            names.append(name)
+
+    emb = {n: rng.normal(size=4).astype(np.float32) for n in names[:-1]}  # one file missing
+    csv = tmp_path / "emb.csv"
+    with open(csv, "w") as f:
+        f.write("file_name,embeddings\n")
+        for n, v in emb.items():
+            f.write(f"{n},\"{','.join(str(x) for x in v)}\"\n")
+
+    src = ImageFolderSource(str(tmp_path / "train"), img_size=16, seed=0)
+    _attach_embeddings(src, str(csv))
+
+    import os as _os
+
+    for batch in iterate_batches(src, 3, epochs=1):  # load_batch path
+        assert "embedding" in batch and batch["embedding"].shape == (3, 4)
+    # values line up with the right files (and missing files get zeros)
+    full = src.load_batch(np.arange(6))
+    for i in range(6):
+        base = _os.path.basename(src.paths[i])
+        want = emb.get(base, np.zeros(4, np.float32))
+        np.testing.assert_allclose(full["embedding"][i], want)
+    # the per-sample path stays consistent with the batch path
+    np.testing.assert_allclose(src.load(5)["embedding"], full["embedding"][5])

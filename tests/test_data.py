@@ -302,3 +302,61 @@ def test_dataframe_source_indices_and_embeddings(tmp_path):
     # whole-batch path carries the same extras
     b = src.load_batch(np.array([0, 1]))
     assert b["a_ind"].shape == (2, 11) and b["embedding"].shape == (2, 4)
+
+
+def test_decoded_cache_identical_batches_one_decode(tmp_path, monkeypatch):
+    """cache_decoded=True serves identical batches to the uncached path and
+    decodes each image exactly once across epochs; a too-small budget
+    disables the cache (behavior identical to uncached)."""
+    import spectrogramgenai_tpu.data.pipeline as pl
+
+    root = str(tmp_path / "train")
+    _make_folder_dataset(root)
+
+    calls = {"n_images": 0}
+    orig = pl.decode_gray_batch
+
+    def counting(paths, h, w, num_threads=8):
+        calls["n_images"] += len(paths)
+        return orig(paths, h, w, num_threads=num_threads)
+
+    monkeypatch.setattr(pl, "decode_gray_batch", counting)
+
+    plain = pl.ImageFolderSource(root, bootstrap_balance=True, seed=3, img_size=32)
+    cached = pl.ImageFolderSource(root, bootstrap_balance=True, seed=3, img_size=32,
+                                  cache_decoded=True)
+    for a, b in zip(iterate_batches(plain, 4, epochs=2), iterate_batches(cached, 4, epochs=2)):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+    cached.load_batch(np.arange(len(cached.paths)))  # fully warm (bootstrap
+    # resampling draws WITH replacement, so epochs alone may miss an image)
+    calls["n_images"] = 0
+    list(iterate_batches(cached, 4, epochs=3))
+    assert calls["n_images"] == 0  # fully warm: zero decodes
+
+    # budget too small → one warning, decode-per-epoch behavior preserved
+    plain2 = pl.ImageFolderSource(root, bootstrap_balance=True, seed=3, img_size=32)
+    tiny = pl.ImageFolderSource(root, bootstrap_balance=True, seed=3, img_size=32,
+                                cache_decoded=True, cache_budget_mb=0)
+    for a, b in zip(iterate_batches(plain2, 4, epochs=1), iterate_batches(tiny, 4, epochs=1)):
+        np.testing.assert_array_equal(a["image"], b["image"])
+    assert tiny._cache_enabled is False
+
+
+def test_decoded_cache_grows_with_injected_synthetic(tmp_path):
+    """_inject_synthetic appends paths after construction — the cache must
+    re-size instead of indexing out of bounds."""
+    from spectrogramgenai_tpu.data.pipeline import ImageFolderSource
+
+    root = str(tmp_path / "train")
+    _make_folder_dataset(root, per_class=3)
+    src = ImageFolderSource(root, img_size=32, cache_decoded=True)
+    first = src.load_batch(np.arange(6))  # warm the 6-image cache
+    # simulate the synthetic-injection mutation
+    src.paths = list(src.paths) + [src.paths[0], src.paths[1]]
+    src.labels = np.concatenate([src.labels, src.labels[:2]])
+    grown = src.load_batch(np.asarray([6, 7, 0]))
+    np.testing.assert_array_equal(grown["image"][2], first["image"][0])
+    np.testing.assert_array_equal(grown["image"][0], first["image"][0])  # same file
+    np.testing.assert_array_equal(grown["label"], [0, 0, 0])
