@@ -113,8 +113,12 @@ class _DecodedCache:
         if self._cache_imgs is None or len(self._cache_have) < n:
             need = n * h * w * 4
             if need > self._cache_budget:
-                print(f"decoded-image cache disabled: {n} images at {h}x{w} "
-                      f"need {need >> 20} MB > budget {self._cache_budget >> 20} MB")
+                import warnings
+
+                warnings.warn(
+                    f"decoded-image cache disabled: {n} images at {h}x{w} need "
+                    f"{need >> 20} MB > budget {self._cache_budget >> 20} MB "
+                    "(raise data.cache_budget_mb to re-enable)", stacklevel=2)
                 self._cache_enabled = False
                 return decode_fn(chunk)
             imgs = np.zeros((n, h, w), np.float32)
