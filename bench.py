@@ -132,17 +132,26 @@ def assemble_record(result: dict, prior: dict, *, errors: dict, skipped: list,
                 if k not in out and k != "record_date"}
     if backfill:
         out.update(backfill)
-        out["keys_from_prior_record"] = sorted(backfill)
         out["prior_record_date"] = prior.get("record_date", "unknown")
+    recomputed = set()
     ips = out.get("input_pipeline_images_per_sec_per_core")
     train_ips = out.get("ddpm_train_images_per_sec_per_chip_batch32")
     if ips and train_ips:
         # host cores needed to keep one chip's capacity-batch trainer fed
         out["input_pipeline_cores_per_chip_ddpm32"] = round(train_ips / ips, 2)
+        recomputed.add("input_pipeline_cores_per_chip_ddpm32")
     tpu_sps = out.get("ddpm_sampling_samples_per_sec_per_chip")
     cpu_ddpm = out.get("cpu_reference_ddpm_samples_per_sec")
     if tpu_sps and cpu_ddpm:
         out["ddpm_vs_cpu_baseline"] = round(tpu_sps / cpu_ddpm, 1)
+        recomputed.add("ddpm_vs_cpu_baseline")
+    if backfill:
+        # derived ratios recomputed over the merged view aren't prior data
+        carried = [k for k in sorted(backfill) if k not in recomputed]
+        if carried:
+            out["keys_from_prior_record"] = carried
+        else:
+            del out["prior_record_date"]
     out = {k: (round(v, 6) if isinstance(v, float) else v) for k, v in out.items()}
     if errors:
         out["errors"] = errors

@@ -100,6 +100,18 @@ def test_derived_ratio_over_merged_view(tmp_path):
     assert out["ddpm_vs_cpu_baseline"] == round(2.25 / 0.001125, 1)
 
 
+def test_recomputed_derived_ratio_not_listed_as_prior(tmp_path):
+    # a stale derived ratio in the prior record gets recomputed over the
+    # merged view — it must not be claimed as prior-record provenance
+    p = tmp_path / "BENCH_local.json"
+    p.write_text(json.dumps({**PRIOR, "ddpm_vs_cpu_baseline": 99999.0}))
+    prior = bench.load_prior_record(str(p))
+    out = _assemble({"ddpm_sampling_samples_per_sec_per_chip": 2.25}, prior)
+    assert out["ddpm_vs_cpu_baseline"] == round(2.25 / 0.001125, 1)
+    assert "ddpm_vs_cpu_baseline" not in out["keys_from_prior_record"]
+    assert "vqvae_train_mfu_pct" in out["keys_from_prior_record"]
+
+
 def test_empty_prior_backfills_nothing():
     out = _assemble({"value": 1.0}, {})
     assert "keys_from_prior_record" not in out
