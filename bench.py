@@ -665,6 +665,41 @@ def _bench_classifier(batch=16, model_name="custom", capacity_batch=None):
     return out
 
 
+def _bench_classifier_ensemble_accum(effective_batch=64, accum=4):
+    """Execute the ensemble classifier at effective batch 64 on ONE 16 GB
+    chip via gradient accumulation (4 × 16 microbatches, train/common.py
+    scan) — the exact workload that hard-crashed the chip at a DIRECT
+    batch 64 (core/config.py:165, reference helpers.py:740-798 trains the
+    ensemble). Direct batch 64 must never be re-attempted here (worker
+    recovery is ~10-25 min); accumulation keeps only one microbatch-16's
+    activations live, which is the proven-safe geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogramgenai_tpu.core.config import ClassifierConfig, RunConfig
+    from spectrogramgenai_tpu.core.mesh import MeshSpec, create_mesh
+    from spectrogramgenai_tpu.train.classifier_task import ClassifierTask
+
+    cfg = ClassifierConfig(model_name="ensemble", grad_accum=accum,
+                           run=RunConfig(seed=0))
+    mesh = create_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    task = ClassifierTask(cfg, mesh)
+    state = task.init_state(img_size=256, seed=0)
+    step = task.make_train_step()
+    imgs = jnp.zeros((effective_batch, 256, 256, 1), jnp.float32)
+    labs = jnp.zeros((effective_batch,), jnp.int32)
+    flops = _flops_of(step, state, imgs, labs)
+    dt = _time_train_step(step, state, imgs, labs, iters=8)
+    out = {
+        f"classifier_ensemble_train_images_per_sec_per_chip_batch{effective_batch}"
+        f"_accum{accum}": effective_batch / dt,
+    }
+    if flops is not None:
+        out[f"classifier_ensemble_train_mfu_pct_batch{effective_batch}_accum{accum}"] = (
+            _mfu(flops, dt))
+    return out
+
+
 def _bench_classifier_sweep():
     """The reference's actual expensive workload: the resnet18/vgg16/
     mobilenet_v2/ensemble × synthetic-count sweep (train_classifiers.py:73-81,
@@ -715,6 +750,7 @@ def main():
         ("acgan_capacity", _bench_acgan_capacity, 15),
         ("serve_dpmpp", _bench_serve_dpmpp, 25),
         ("classifier_sweep", _bench_classifier_sweep, 150),
+        ("classifier_ensemble_accum", _bench_classifier_ensemble_accum, 90),
     ]
     skipped = [name for name, _, _ in sections]
 
