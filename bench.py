@@ -20,15 +20,19 @@ Any failed section logs its traceback to stderr and lands in the JSON's
 
 Timeout-proofing (the r3 official record was rc=124/unparseable because the
 driver's time limit hit mid-run and the single final JSON line never
-printed):
-  * After EVERY section the full cumulative JSON is printed as one complete
-    stdout line — the driver parses the last line, so an external kill still
-    yields a valid, maximal record (with "bench_incomplete": true).
+printed; the r4 record was rc=0/unparseable because the verbose final line
+was ~3.3k chars against the driver's 2,000-char output tail):
+  * After EVERY section the cumulative record is printed as one complete
+    stdout line in a COMPACT grouped form (slim_record, <1800 chars —
+    asserted in tests/test_bench_record.py; docs/BENCH_SCHEMA.md maps the
+    short names) — the driver parses the last line, so an external kill
+    still yields a valid, maximal record (with meta.incomplete). The full
+    verbose record is written to BENCH_full_last.json at every emit.
   * An elapsed-time budget guard (BENCH_BUDGET_S, default 780 s) skips any
-    section whose estimated cost no longer fits; skipped names land in
-    "skipped_sections" instead of silently vanishing.
+    section whose estimated cost no longer fits; estimates self-correct
+    with the last measured section durations from BENCH_local.json.
   * Sections run BASELINE-critical-first (mel headline, DDPM chain + ratios)
-    so the contract numbers are always captured, even on a cold cache.
+    then cheapest-first so breadth survives a slow chain.
   * CPU reference baselines are PINNED (tools/cpu_baselines.json — fastest
     ever measured on an idle host = hardest baseline; this 1-core VM's load
     wobbled the denominator 40% between r2 and r3 when re-measured live).
@@ -271,14 +275,19 @@ def _ddpm_ctx(num_classes=27):
     vq_vars = vq.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 256, 256, 1)))
     task = DiffusionTask(cfg, mesh, total_steps=100, vq_variables=vq_vars)
     _DDPM_CTX.update(cfg=cfg, mesh=mesh, vq_vars=vq_vars, task=task,
-                     state=task.init_state(0),
+                     state=task.init_state(0), sampler=task.make_sampler(),
                      labels=jnp.arange(num_classes, dtype=jnp.int32))
     return _DDPM_CTX
 
 
-def _bench_ddpm_sample(num_classes=27):
-    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8,
-    chain FLOPs/MFU, and the DDIM-50 / DPM++-20 fast samplers."""
+def _bench_ddpm_chain(num_classes=27):
+    """Full 999-step latent CFG chain + quantize/decode → 256×256 uint8 and
+    chain FLOPs/MFU — the BASELINE ≥20×-vs-CPU contract numbers. Split from
+    the old monolithic ddpm_sample section in r5 (VERDICT r4 weak #3): its
+    330 s estimate ran 712 s in the official record because ONE section
+    carried four distinct jitted programs' worth of worker-session load tax
+    and starved 11 downstream sections. Now each sampler variant is its own
+    section with its own estimate."""
     import jax
     import jax.numpy as jnp
 
@@ -288,7 +297,7 @@ def _bench_ddpm_sample(num_classes=27):
     cfg, task, state, labels = ctx["cfg"], ctx["task"], ctx["state"], ctx["labels"]
 
     out = {}
-    sampler = task.make_sampler()
+    sampler = ctx["sampler"]
     sample_kw = dict(cfg_scale=cfg.cfg_scale)
     # first call = compile + warmup (the 999-step scan body compiles once)
     imgs = sampler(state.params, jax.random.PRNGKey(0), labels, **sample_kw)
@@ -323,22 +332,37 @@ def _bench_ddpm_sample(num_classes=27):
         out["ddpm_unet_cfg_fwd_gflops_batch54"] = fwd_flops / 1e9
         out["ddpm_chain_tflops"] = chain_flops / 1e12
         out["ddpm_sampler_mfu_pct"] = _mfu(chain_flops, chain_s)
+    return out
 
-    # DDIM fast sampler (50 steps) — capability beyond the reference
+
+def _bench_ddim(num_classes=27):
+    """DDIM fast sampler (50 steps) — capability beyond the reference."""
+    import jax
+
     from spectrogramgenai_tpu.utils.benchtools import timeit_device
 
+    ctx = _ddpm_ctx(num_classes)
+    cfg, state, labels, sampler = ctx["cfg"], ctx["state"], ctx["labels"], ctx["sampler"]
     ddim_kw = dict(cfg_scale=cfg.cfg_scale, sampler="ddim", num_steps=50)
     ddim_dt = timeit_device(
         lambda: sampler(state.params, jax.random.PRNGKey(3), labels, **ddim_kw), iters=5)
-    out["ddim50_sampling_samples_per_sec_per_chip"] = num_classes / ddim_dt
+    return {"ddim50_sampling_samples_per_sec_per_chip": num_classes / ddim_dt}
 
-    # DPM-Solver++(2M), 20 steps — 2nd-order: ~DDIM-50 quality at 2.5× fewer
-    # UNet forwards (diffusion/ddpm.py::dpmpp_sample)
+
+def _bench_dpmpp(num_classes=27):
+    """DPM-Solver++(2M), 20 steps — 2nd-order: ~DDIM-50 quality at 2.5× fewer
+    UNet forwards (diffusion/ddpm.py::dpmpp_sample); the serving/export
+    default since r4."""
+    import jax
+
+    from spectrogramgenai_tpu.utils.benchtools import timeit_device
+
+    ctx = _ddpm_ctx(num_classes)
+    cfg, state, labels, sampler = ctx["cfg"], ctx["state"], ctx["labels"], ctx["sampler"]
     dpmpp_kw = dict(cfg_scale=cfg.cfg_scale, sampler="dpmpp", num_steps=20)
     dpmpp_dt = timeit_device(
         lambda: sampler(state.params, jax.random.PRNGKey(3), labels, **dpmpp_kw), iters=5)
-    out["dpmpp20_sampling_samples_per_sec_per_chip"] = num_classes / dpmpp_dt
-    return out
+    return {"dpmpp20_sampling_samples_per_sec_per_chip": num_classes / dpmpp_dt}
 
 
 def _bench_ddpm_train(num_classes=27):
@@ -711,6 +735,206 @@ def _bench_classifier_sweep():
     return out
 
 
+def _bench_mel_section():
+    """Headline section: fused-Pallas mel throughput + parity + CPU pin."""
+    from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
+
+    cfg = SpectrogramConfig(sample_rate=22050)
+    dev_sps, cpu_sps, max_err_db, mel_extra = _bench_mel(cfg)
+    out = {
+        "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
+        "value": round(dev_sps, 1),
+        "unit": "specs/sec",
+        "vs_baseline": round(dev_sps / cpu_sps, 1),
+        "cpu_reference_specs_per_sec": round(cpu_sps, 2),
+        "mel_parity_max_err_db": round(max_err_db, 6),
+    }
+    out.update(mel_extra)
+    return out
+
+
+# The section registry, consumed by BOTH main()'s budget loop and
+# tools/run_bench_section.py (hoisted in r5 — the tool used to hand-duplicate
+# this list). Entries are (name, fn, static estimated seconds with a WARM
+# persistent compile cache). The budget guard additionally self-corrects each
+# estimate with the last measured duration from BENCH_local.json's
+# section_seconds (max(static, measured) — the r4 official record's
+# ddpm_sample estimate of 330 s ran 712 s and starved 11 sections). Even a
+# warm run pays ~30-90 s per distinct jitted program just to LOAD it into
+# the remote axon worker, which is why the monolithic ddpm_sample section
+# (4 programs) is split into ddpm_chain / ddim / dpmpp, and why the order
+# is: pinned + headline + BASELINE-critical chain first, then the CHEAP
+# sections (so breadth survives a slow chain), then the heavies.
+SECTIONS = [
+    ("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline, 1),  # pinned — free
+    ("mel", _bench_mel_section, 150),
+    ("ddpm_chain", _bench_ddpm_chain, 220),
+    ("invert", _bench_invert, 12),
+    ("input_pipeline", _bench_input_pipeline, 10),
+    ("vqvae", _bench_vqvae, 12),
+    ("classifier", lambda: _bench_classifier(capacity_batch=256), 25),
+    ("acgan_capacity", _bench_acgan_capacity, 20),
+    ("dpmpp", _bench_dpmpp, 60),
+    ("ddim", _bench_ddim, 60),
+    ("serve_dpmpp", _bench_serve_dpmpp, 30),
+    ("specunet", _bench_specunet, 60),
+    ("acgan", _bench_acgan, 90),
+    ("classifier_ensemble_accum", _bench_classifier_ensemble_accum, 90),
+    ("ddpm_train", _bench_ddpm_train, 280),
+    ("classifier_sweep", _bench_classifier_sweep, 210),
+]
+
+
+def load_prior_sections(path: str | None = None) -> dict:
+    """Last measured per-section durations (BENCH_local.json's
+    section_seconds) — the self-correcting input to the budget guard."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_local.json")
+    try:
+        with open(path) as f:
+            secs = json.load(f).get("section_seconds", {})
+        return {k: float(v) for k, v in secs.items()}
+    except Exception:
+        return {}
+
+
+# ---------------------------------------------------------------------------
+# Slim stdout record (r5). The driver retains only the LAST 2,000 characters
+# of output and json-parses the last line; the full verbose record is ~3.3k
+# chars (r4's official record was parsed:null because the line's head fell
+# off the window). So stdout carries a COMPACT grouped record (<1800 chars,
+# asserted in tests/test_bench_record.py) holding every measured metric
+# under short names; the full verbose record goes to BENCH_full_last.json
+# next to bench.py at every emit. docs/BENCH_SCHEMA.md maps short → verbose.
+
+_HEADLINE_KEYS = ("metric", "value", "unit", "vs_baseline")
+
+# verbose key → (group, short key). Grouping strips the repeated prefixes
+# that made the flat record unparseable through the driver's tail window.
+_SLIM_MAP = {
+    "cpu_reference_specs_per_sec": ("mel", "cpu_sps"),
+    "mel_parity_max_err_db": ("mel", "err_db"),
+    "cpu_mel_spot_specs_per_sec": ("mel", "cpu_spot_sps"),
+    "cpu_mel_pin_over_spot": ("mel", "pin_over_spot"),
+    "mel_specs_per_sec_high_mode": ("mel", "high_sps"),
+    "mel_high_mode_max_err_db": ("mel", "high_err_db"),
+    "cpu_reference_ddpm_samples_per_sec": ("ddpm", "cpu_sps"),
+    "cpu_reference_ddpm_chain_seconds_batch27": ("ddpm", "cpu_chain_s"),
+    "ddpm_sampling_samples_per_sec_per_chip": ("ddpm", "sample_sps"),
+    "ddpm_999step_cfg_chain_seconds_batch27": ("ddpm", "chain_s"),
+    "ddpm_chain_seconds_spread": ("ddpm", "chain_spread_s"),
+    "ddpm_unet_cfg_fwd_gflops_batch54": ("ddpm", "fwd_gflops"),
+    "ddpm_chain_tflops": ("ddpm", "chain_tflops"),
+    "ddpm_sampler_mfu_pct": ("ddpm", "sample_mfu"),
+    "ddim50_sampling_samples_per_sec_per_chip": ("ddpm", "ddim50_sps"),
+    "dpmpp20_sampling_samples_per_sec_per_chip": ("ddpm", "dpmpp20_sps"),
+    "ddpm_vs_cpu_baseline": ("ddpm", "vs_cpu"),
+    "ddpm_train_images_per_sec_per_chip_batch10": ("ddpm", "train_ips_b10"),
+    "ddpm_train_step_tflops": ("ddpm", "train_tflops"),
+    "ddpm_train_mfu_pct": ("ddpm", "train_mfu_b10"),
+    "ddpm_train_images_per_sec_per_chip_batch32": ("ddpm", "train_ips_b32"),
+    "ddpm_train_mfu_pct_batch32": ("ddpm", "train_mfu_b32"),
+    "ddpm_train_images_per_sec_per_chip_batch32_cached": ("ddpm", "train_ips_b32_cached"),
+    "ddpm_train_images_per_sec_per_chip_batch128_accum4": ("ddpm", "train_ips_b128_ga4"),
+    "spec_to_wav_clips_per_sec_per_chip": ("io", "spec_to_wav_cps"),
+    "input_pipeline_images_per_sec_per_core": ("io", "pipeline_ips_core"),
+    "input_pipeline_cores_per_chip_ddpm32": ("io", "cores_per_chip"),
+    "vqvae_train_steps_per_sec_batch16": ("vqvae", "steps_ps_b16"),
+    "vqvae_train_images_per_sec_per_chip": ("vqvae", "ips"),
+    "vqvae_train_mfu_pct": ("vqvae", "mfu"),
+    "specunet_train_images_per_sec_per_chip": ("specunet", "ips"),
+    "specunet_train_mfu_pct": ("specunet", "mfu"),
+    "specunet_train_images_per_sec_per_chip_batch128": ("specunet", "ips_b128"),
+    "specunet_train_mfu_pct_batch128": ("specunet", "mfu_b128"),
+    "acgan_train_steps_per_sec_batch16": ("acgan", "steps_ps_b16"),
+    "acgan_train_images_per_sec_per_chip": ("acgan", "ips"),
+    "acgan_train_mfu_pct": ("acgan", "mfu"),
+    "acgan_train_images_per_sec_per_chip_batch64": ("acgan", "ips_b64"),
+    "acgan_train_mfu_pct_batch64": ("acgan", "mfu_b64"),
+    "serve_dpmpp20_images_per_sec_per_chip": ("serve", "dpmpp20_ips"),
+    "serve_dpmpp20_mean_occupancy": ("serve", "occupancy"),
+    "classifier_custom_train_images_per_sec_per_chip": ("cls", "custom_ips"),
+    "classifier_custom_train_mfu_pct": ("cls", "custom_mfu"),
+    "classifier_custom_train_images_per_sec_per_chip_batch256": ("cls", "custom_ips_b256"),
+    "classifier_custom_train_mfu_pct_batch256": ("cls", "custom_mfu_b256"),
+    "classifier_resnet18_train_images_per_sec_per_chip": ("cls", "resnet18_ips"),
+    "classifier_resnet18_train_mfu_pct": ("cls", "resnet18_mfu"),
+    "classifier_vgg16_train_images_per_sec_per_chip": ("cls", "vgg16_ips"),
+    "classifier_vgg16_train_mfu_pct": ("cls", "vgg16_mfu"),
+    "classifier_mobilenet_v2_train_images_per_sec_per_chip": ("cls", "mobilenet_ips"),
+    "classifier_mobilenet_v2_train_mfu_pct": ("cls", "mobilenet_mfu"),
+    "classifier_ensemble_train_images_per_sec_per_chip": ("cls", "ensemble_ips"),
+    "classifier_ensemble_train_mfu_pct": ("cls", "ensemble_mfu"),
+    "classifier_ensemble_train_images_per_sec_per_chip_batch64_accum4":
+        ("cls", "ensemble_ips_b64_ga4"),
+    "classifier_ensemble_train_mfu_pct_batch64_accum4": ("cls", "ensemble_mfu_b64_ga4"),
+}
+
+# Config constants (not measurements): present in the full record / schema
+# doc, dropped from the slim stdout line to buy tail-window headroom.
+_SLIM_DROP = {
+    "cpu_mel_pinned", "cpu_ddpm_pinned", "cpu_reference_torch_threads",
+    "input_pipeline_host_cores", "spec_to_wav_batch", "serve_dpmpp20_batch",
+}
+
+_SLIM_META = {
+    "backend", "bench_elapsed_s", "skipped_sections", "errors",
+    "bench_incomplete", "prior_record_date", "keys_from_prior_record",
+    "section_seconds", "record_date",
+}
+
+_GROUP_ORDER = ("mel", "ddpm", "vqvae", "acgan", "specunet", "cls", "io", "serve")
+
+
+def _sig4(v):
+    return float(f"{v:.4g}") if isinstance(v, float) else v
+
+
+def slim_record(full: dict) -> dict:
+    """Compact grouped form of the verbose record for the driver's stdout
+    line (pure function — unit-tested against the full current keyset to
+    stay under the 2,000-char tail window with margin)."""
+    out: dict = {}
+    groups: dict[str, dict] = {}
+    misc: dict = {}
+    for k, v in full.items():
+        if k in _HEADLINE_KEYS:
+            out[k] = _sig4(v)
+        elif k in _SLIM_DROP or k in _SLIM_META:
+            continue
+        elif k in _SLIM_MAP:
+            g, short = _SLIM_MAP[k]
+            groups.setdefault(g, {})[short] = _sig4(v)
+        else:
+            misc[k] = _sig4(v)  # unmapped key: keep verbose, never drop
+    for g in _GROUP_ORDER:
+        if g in groups:
+            out[g] = groups[g]
+    for g in sorted(set(groups) - set(_GROUP_ORDER)):
+        out[g] = groups[g]
+    if misc:
+        out["misc"] = misc
+    meta: dict = {"backend": full.get("backend")}
+    if full.get("bench_elapsed_s") is not None:
+        meta["elapsed_s"] = _sig4(full["bench_elapsed_s"])
+    if full.get("section_seconds"):
+        meta["live_sections"] = len(full["section_seconds"])
+    if full.get("skipped_sections"):
+        meta["skipped"] = len(full["skipped_sections"])
+    if full.get("errors"):
+        meta["errors"] = len(full["errors"])
+    if full.get("keys_from_prior_record"):
+        meta["backfilled_keys"] = len(full["keys_from_prior_record"])
+    if full.get("prior_record_date"):
+        meta["prior"] = full["prior_record_date"]
+    if full.get("bench_incomplete"):
+        meta["incomplete"] = True
+    meta["schema"] = "docs/BENCH_SCHEMA.md"
+    out["meta"] = meta
+    return out
+
+
 def main():
     import jax
 
@@ -720,52 +944,36 @@ def main():
     except Exception:
         pass
 
-    from spectrogramgenai_tpu.audio.spectrogram import SpectrogramConfig
-
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "780"))
     errors: dict[str, str] = {}
     section_seconds: dict[str, float] = {}
     result: dict = {}
 
-    # (name, fn, estimated cost in seconds with a WARM persistent compile
-    # cache — tuned from measured r4 runs (section_seconds of two full
-    # passes); the guard skips a section when its estimate no longer fits
-    # the remaining budget, so a cold cache or slow tunnel degrades to a
-    # partial-but-parseable record, never an rc!=0. Even a warm run pays
-    # ~30-90 s per distinct jitted program just to LOAD it into the remote
-    # axon worker — which is why the r3 monolithic ddpm section (8 programs,
-    # measured ~500 s warm) is split so the BASELINE-critical chain + ×CPU
-    # numbers land before the train-variant program loads.
-    sections = [
-        ("cpu_ddpm_baseline", _bench_cpu_ddpm_baseline, 1),  # pinned — free
-        ("ddpm_sample", _bench_ddpm_sample, 330),
-        ("invert", _bench_invert, 10),
-        ("input_pipeline", _bench_input_pipeline, 8),
-        ("vqvae", _bench_vqvae, 8),
-        ("ddpm_train", _bench_ddpm_train, 200),
-        ("specunet", _bench_specunet, 60),
-        ("classifier", lambda: _bench_classifier(capacity_batch=256), 20),
-        ("acgan", _bench_acgan, 70),
-        ("acgan_capacity", _bench_acgan_capacity, 15),
-        ("serve_dpmpp", _bench_serve_dpmpp, 25),
-        ("classifier_sweep", _bench_classifier_sweep, 150),
-        ("classifier_ensemble_accum", _bench_classifier_ensemble_accum, 90),
-    ]
-    skipped = [name for name, _, _ in sections]
-
+    skipped = [name for name, _, _ in SECTIONS]
     prior = load_prior_record()
+    prior_secs = load_prior_sections()
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full_last.json")
 
     def emit(incomplete: bool):
-        """Print the full cumulative record as one stdout line. The driver
-        parses the LAST line, so every section boundary leaves a valid,
-        maximal record behind (r3's single final print was killed mid-run)."""
+        """Emit the cumulative record: the SLIM grouped form as one stdout
+        line (the driver parses the last line of its 2,000-char tail), the
+        full verbose form to BENCH_full_last.json. Every section boundary
+        leaves a valid, maximal record behind — an external kill at any
+        point still parses."""
         out = assemble_record(
             result, prior, errors=errors, skipped=skipped,
             section_seconds=section_seconds,
             elapsed_s=time.perf_counter() - t_start, incomplete=incomplete,
             backend=jax.default_backend())
-        print(json.dumps(out), flush=True)
+        try:
+            with open(full_path, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass
+        print(json.dumps(slim_record(out)), flush=True)
         return out
 
     # line 0, before ANY device work: a fully prior-backfilled record. The
@@ -775,33 +983,14 @@ def main():
     # EMPTY stdout (r3's parsed:null all over again).
     emit(incomplete=True)
 
-    cfg = SpectrogramConfig(sample_rate=22050)
-    print("bench: mel…", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    try:
-        dev_sps, cpu_sps, max_err_db, mel_extra = _bench_mel(cfg)
-        result.update({
-            "metric": "wav->mel 256x256 log-mel specs/sec (fused Pallas, 1 chip)",
-            "value": round(dev_sps, 1),
-            "unit": "specs/sec",
-            "vs_baseline": round(dev_sps / cpu_sps, 1),
-            "cpu_reference_specs_per_sec": round(cpu_sps, 2),
-            "mel_parity_max_err_db": round(max_err_db, 6),
-        })
-        result.update(mel_extra)
-        print(f"bench: mel done ({dev_sps:.0f}/s)", file=sys.stderr, flush=True)
-    except Exception as e:
-        # even a broken headline leaves a parseable record (prior-backfilled
-        # headline keys + the remaining sections), never an empty stdout
-        traceback.print_exc()
-        errors["mel"] = f"{type(e).__name__}: {e}"
-    section_seconds["mel"] = time.perf_counter() - t0
-    emit(incomplete=True)
-
-    for name, fn, est in sections:
+    for name, fn, static_est in SECTIONS:
+        # self-correcting guard input: a section that overran its static
+        # estimate last full pass keeps its measured cost (r4's ddpm_sample
+        # 330-s estimate ran 712 s and silently starved 11 sections)
+        est = max(static_est, prior_secs.get(name, 0.0))
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < est:
-            print(f"bench: SKIP {name} (est {est}s > {remaining:.0f}s left of "
+            print(f"bench: SKIP {name} (est {est:.0f}s > {remaining:.0f}s left of "
                   f"BENCH_BUDGET_S={budget:.0f})", file=sys.stderr, flush=True)
             continue
         print(f"bench: {name}…", file=sys.stderr, flush=True)

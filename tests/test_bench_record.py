@@ -137,3 +137,108 @@ def test_complete_run_has_no_incomplete_marker():
     assert "bench_incomplete" not in out
     assert "skipped_sections" not in out
     assert "errors" not in out
+
+
+# --- slim stdout record (r5): the driver retains only the last 2,000 chars
+# of output and json-parses the last line; the r4 official record was
+# parsed:null because the verbose line was ~3.3k chars. These tests pin the
+# compact form against the FULL current keyset.
+
+
+def _worst_case_full_record():
+    """The committed local record with every known key present plus maximal
+    bookkeeping — an upper bound on what a real final line carries."""
+    with open(os.path.join(REPO, "BENCH_local.json")) as f:
+        full = json.load(f)
+    # keys newer than the last local refresh must also fit
+    full.setdefault(
+        "classifier_ensemble_train_images_per_sec_per_chip_batch64_accum4", 123.456789)
+    full.setdefault("classifier_ensemble_train_mfu_pct_batch64_accum4", 34.567891)
+    full.update({
+        "prior_record_date": "2026-08-19",
+        "keys_from_prior_record": [f"key_{i}" for i in range(45)],
+        "skipped_sections": [n for n, _, _ in bench.SECTIONS],
+        "errors": {"mel": "RuntimeError: boom", "acgan": "ValueError: x"},
+        "bench_incomplete": True,
+        "section_seconds": {n: 12.3 for n, _, _ in bench.SECTIONS},
+        "bench_elapsed_s": 1234.5,
+        "backend": "tpu",
+    })
+    return full
+
+
+def test_slim_line_fits_driver_tail_window():
+    line = json.dumps(bench.slim_record(_worst_case_full_record()))
+    assert "\n" not in line
+    assert len(line) < 1800, f"slim line {len(line)} chars ≥ 1800 — driver tail risk"
+    json.loads(line)  # parses
+
+
+def test_slim_covers_every_metric_key():
+    """No metric may vanish: every non-bookkeeping key of the full record is
+    either a headline key, explicitly mapped, or an explicitly-documented
+    dropped constant — anything else must surface under misc."""
+    full = _worst_case_full_record()
+    slim = bench.slim_record(full)
+    short_values = []
+    for g in slim:
+        if isinstance(slim[g], dict) and g != "meta":
+            short_values.extend(slim[g].values())
+    for k, v in full.items():
+        if k in bench._SLIM_META or k in bench._SLIM_DROP:
+            continue
+        if k in bench._HEADLINE_KEYS:
+            assert k in slim
+        elif isinstance(v, float):
+            assert bench._sig4(v) in short_values, f"metric {k} missing from slim record"
+
+
+def test_slim_keyset_has_no_surprises():
+    """Every metric key the bench can currently produce has an explicit slim
+    mapping — a new section key without one lands in misc (still parseable,
+    still counted by the length test, but flagged here so the mapping and
+    docs/BENCH_SCHEMA.md get updated)."""
+    full = _worst_case_full_record()
+    slim = bench.slim_record(full)
+    assert "misc" not in slim, f"unmapped metric keys: {list(slim['misc'])}"
+
+
+def test_slim_unmapped_key_survives_in_misc():
+    slim = bench.slim_record({"value": 1.0, "brand_new_metric": 3.14159265})
+    assert slim["misc"]["brand_new_metric"] == 3.142  # 4 sig digits
+
+
+def test_slim_meta_counts_and_schema_pointer():
+    slim = bench.slim_record(_worst_case_full_record())
+    meta = slim["meta"]
+    assert meta["backend"] == "tpu"
+    assert meta["skipped"] == len(bench.SECTIONS)
+    assert meta["errors"] == 2
+    assert meta["backfilled_keys"] == 45
+    assert meta["live_sections"] == len(bench.SECTIONS)
+    assert meta["incomplete"] is True
+    assert meta["prior"] == "2026-08-19"
+    assert meta["schema"] == "docs/BENCH_SCHEMA.md"
+
+
+def test_slim_headline_survives_verbatim():
+    slim = bench.slim_record(_worst_case_full_record())
+    assert slim["metric"].startswith("wav->mel")
+    assert slim["unit"] == "specs/sec"
+    assert isinstance(slim["value"], float) and isinstance(slim["vs_baseline"], float)
+
+
+def test_load_prior_sections(tmp_path):
+    p = tmp_path / "BENCH_local.json"
+    p.write_text(json.dumps({"value": 1.0, "section_seconds": {"mel": 130.5}}))
+    assert bench.load_prior_sections(str(p)) == {"mel": 130.5}
+    assert bench.load_prior_sections(str(tmp_path / "nope.json")) == {}
+
+
+def test_sections_registry_names_unique_and_complete():
+    names = [n for n, _, _ in bench.SECTIONS]
+    assert len(names) == len(set(names))
+    # the split ddpm sections and the headline mel section are registered
+    for required in ("mel", "ddpm_chain", "ddim", "dpmpp", "ddpm_train",
+                     "classifier_ensemble_accum"):
+        assert required in names

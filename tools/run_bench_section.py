@@ -3,12 +3,18 @@
 Usage:  python tools/run_bench_section.py <section> [...]
         python tools/run_bench_section.py --list
 
-Sections are the same names main()'s budget loop uses (e.g. ddpm_train,
-classifier_ensemble_accum). Useful when a single new section needs a real
-measured number without paying for a full ~18 min bench pass — e.g. to
-refresh one key of BENCH_local.json after adding a section. Same caveats
-as bench.py: run SOLO (1-core host, see CLAUDE.md), numbers are only
-valid with nothing else running.
+Sections come from bench.SECTIONS — the same registry main()'s budget loop
+uses, so the two can never diverge. Useful when a single new section needs
+a real measured number without paying for a full ~18 min bench pass — e.g.
+to refresh one key of BENCH_local.json after adding a section. Same caveats
+as bench.py: run SOLO (1-core host, see CLAUDE.md), numbers are only valid
+with nothing else running.
+
+All requested names are validated BEFORE any device work, and each section
+runs under its own try/except — a typo in the last argv or a section crash
+can no longer throw away minutes of already-measured TPU results (the
+partial dict is printed either way; failures land in "errors" and the exit
+code is non-zero).
 """
 
 from __future__ import annotations
@@ -17,28 +23,9 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _sections() -> dict:
-    import bench
-
-    return {
-        "cpu_ddpm_baseline": bench._bench_cpu_ddpm_baseline,
-        "ddpm_sample": bench._bench_ddpm_sample,
-        "invert": bench._bench_invert,
-        "input_pipeline": bench._bench_input_pipeline,
-        "vqvae": bench._bench_vqvae,
-        "ddpm_train": bench._bench_ddpm_train,
-        "specunet": bench._bench_specunet,
-        "classifier": lambda: bench._bench_classifier(capacity_batch=256),
-        "acgan": bench._bench_acgan,
-        "acgan_capacity": bench._bench_acgan_capacity,
-        "serve_dpmpp": bench._bench_serve_dpmpp,
-        "classifier_sweep": bench._bench_classifier_sweep,
-        "classifier_ensemble_accum": bench._bench_classifier_ensemble_accum,
-    }
 
 
 def main(argv: list[str]) -> int:
@@ -50,24 +37,35 @@ def main(argv: list[str]) -> int:
     except Exception:
         pass
 
-    table = _sections()
+    import bench
+
+    table = {name: fn for name, fn, _ in bench.SECTIONS}
     if not argv or argv[0] == "--list":
         print("\n".join(table))
         return 0
 
+    unknown = [n for n in argv if n not in table]
+    if unknown:
+        print(f"unknown section(s) {unknown}; --list shows options", file=sys.stderr)
+        return 2
+
     out: dict = {}
     seconds: dict = {}
+    errors: dict = {}
     for name in argv:
-        if name not in table:
-            print(f"unknown section {name!r}; --list shows options", file=sys.stderr)
-            return 2
         t0 = time.perf_counter()
-        out.update(table[name]())
+        try:
+            out.update(table[name]())
+        except Exception as e:
+            traceback.print_exc()
+            errors[name] = f"{type(e).__name__}: {e}"
         seconds[name] = round(time.perf_counter() - t0, 1)
+    if errors:
+        out["errors"] = errors
     out["section_seconds"] = seconds
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
-    return 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
