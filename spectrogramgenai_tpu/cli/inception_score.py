@@ -20,18 +20,26 @@ import numpy as np
 
 
 def load_images(image_dir: str, limit: int | None = None) -> np.ndarray:
+    """Load every PNG/JPEG under ``image_dir`` (recursively — flat folders and
+    datasets/{split}/{class}/ ImageFolder trees both work) as 299×299 RGB."""
     from PIL import Image
 
     files = sorted(
-        f for f in os.listdir(image_dir) if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        os.path.join(root, f)
+        for root, _dirs, names in os.walk(image_dir)
+        for f in names
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
-    if limit:
-        files = files[:limit]
+    if limit and len(files) > limit:
+        # deterministic uniform subsample — a sorted-prefix cut would take
+        # only the alphabetically-first classes of an ImageFolder tree
+        keep = np.random.default_rng(0).choice(len(files), size=limit, replace=False)
+        files = [files[i] for i in sorted(keep)]
     if not files:
         raise FileNotFoundError(f"no images in {image_dir}")
     out = []
     for f in files:
-        img = Image.open(os.path.join(image_dir, f)).convert("RGB").resize((299, 299), Image.BILINEAR)
+        img = Image.open(f).convert("RGB").resize((299, 299), Image.BILINEAR)
         out.append(np.asarray(img, np.uint8))
     return np.stack(out)
 

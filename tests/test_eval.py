@@ -132,3 +132,26 @@ def dict_flatten(tree, prefix=()):
         else:
             out[prefix + (k,)] = v
     return out
+
+
+def test_load_images_recursive_and_subsample(tmp_path):
+    """cli.inception_score.load_images walks ImageFolder trees and takes a
+    deterministic uniform subsample when limit < file count (a sorted-prefix
+    cut would keep only the alphabetically-first classes)."""
+    from PIL import Image
+
+    from spectrogramgenai_tpu.cli.inception_score import load_images
+
+    for cls in ("a", "b"):
+        d = tmp_path / "tree" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.new("L", (8, 8), color=10 * i).save(d / f"{cls}_{i}.png")
+
+    out = load_images(str(tmp_path / "tree"))
+    assert out.shape == (8, 299, 299, 3) and out.dtype == np.uint8
+
+    sub = load_images(str(tmp_path / "tree"), limit=5)
+    assert sub.shape[0] == 5
+    sub2 = load_images(str(tmp_path / "tree"), limit=5)
+    assert np.array_equal(sub, sub2)  # deterministic
