@@ -71,20 +71,16 @@ phase "5b. generative quality: classifier-feature FID (real val vs dpmpp-20 vs 9
 # Domain-relevant FID in the trained synth0-classifier's logit space
 # (ImageNet Inception weights are unreachable in this sealed image —
 # PARITY.md egress log; the converter + golden tests cover that path).
+# one process for all four pairs: each fresh python process pays the axon
+# worker session tax (tools/fid_batch.py caches per-dir features too)
 {
   echo "## FID (custom synth0 classifier logit space), lower is better"
-  echo "# real-train vs real-val (floor):"
-  python -m spectrogramgenai_tpu.cli.fid --dir1 datasets/val --dir2 datasets/train \
-      --classifier_ckpt results/ckpt_custom_synth0 --num_classes 27 --limit 540
-  echo "# real-val vs dpmpp-20 generated:"
-  python -m spectrogramgenai_tpu.cli.fid --dir1 datasets/val --dir2 gen_images \
-      --classifier_ckpt results/ckpt_custom_synth0 --num_classes 27 --limit 540
-  echo "# real-val vs 999-step-chain generated:"
-  python -m spectrogramgenai_tpu.cli.fid --dir1 datasets/val --dir2 gen_images_chain \
-      --classifier_ckpt results/ckpt_custom_synth0 --num_classes 27 --limit 540
-  echo "# dpmpp-20 vs 999-step-chain (sampler gap):"
-  python -m spectrogramgenai_tpu.cli.fid --dir1 gen_images_chain --dir2 gen_images \
-      --classifier_ckpt results/ckpt_custom_synth0 --num_classes 27 --limit 540
+  python "$REPO/tools/fid_batch.py" --classifier_ckpt results/ckpt_custom_synth0 \
+      --num_classes 27 --limit 540 \
+      floor_val_vs_train:datasets/val:datasets/train \
+      val_vs_dpmpp20:datasets/val:gen_images \
+      val_vs_chain999:datasets/val:gen_images_chain \
+      sampler_gap:gen_images_chain:gen_images
 } | tee results/quality_metrics.txt
 
 phase "6. aggregate: best-val-epoch table + accuracy-vs-synthetic plot + LaTeX"
